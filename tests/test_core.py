@@ -1,0 +1,213 @@
+"""Unit tests for the pure-Python extraction core (the oracle)."""
+
+from __future__ import annotations
+
+from ocr_spark.core.extract import extract_turn
+from ocr_spark.core.html_main import extract_html
+from ocr_spark.core.lines import split_lines_with_spans
+from ocr_spark.core.normalize import clean_inline, collapse_all_ws, fix_confusables
+from ocr_spark.core.pdf_layout import extract_pdf_like
+from ocr_spark.core.plain import extract_plain
+from ocr_spark.core.sniff import sniff_kind
+
+
+# -- lines ------------------------------------------------------------------
+
+def test_line_spans_lf_crlf_cr():
+    raw = "ab\r\ncd\ref\n\ngh"
+    lines = split_lines_with_spans(raw)
+    assert [ln.text for ln in lines] == ["ab", "cd", "ef", "", "gh"]
+    for ln in lines:
+        assert raw[ln.start : ln.end] == ln.text
+
+
+# -- normalize ----------------------------------------------------------------
+
+def test_confusables_reference_set():
+    # the normalize_ascii replacement set, OCR API 2/ocr_utils.py:46-55
+    assert fix_confusables("Το Mumbai") == "To Mumbai"   # Greek
+    assert fix_confusables("Tо Surat") == "To Surat"     # Cyrillic o
+    assert fix_confusables("go T0 depot") == "go To depot"  # T-zero
+
+
+def test_clean_inline_nbsp_zero_width():
+    assert clean_inline("a ​b\tc") == "a b c"
+
+
+def test_collapse_all_ws():
+    assert collapse_all_ws(" a \n\n b\t c ") == "a b c"
+
+
+# -- sniff ------------------------------------------------------------------
+
+def test_sniff_html():
+    assert sniff_kind("<html><body><p>hi</p></body></html>") == "html"
+    assert sniff_kind("look: <div class='x'>block</div>") == "html"
+
+
+def test_sniff_not_html_on_comparison():
+    assert sniff_kind("we know 3 < 5 and x<y in prose") == "plain"
+
+
+def test_sniff_pdf_like_keywords():
+    text = "TAX INVOICE\nAcme Co\nDATE: 1/2/2026\nTOTAL\n123"
+    assert sniff_kind(text) == "pdf_like"
+
+
+def test_sniff_pdf_like_label_layout():
+    text = "Consignor:\nAcme\nVehicle No: MH12AB 1234\nQty: 5\nsomething"
+    assert sniff_kind(text) == "pdf_like"
+
+
+def test_sniff_plain():
+    long_prose = ("this is a long flowing prose sentence that keeps going on "
+                  "well past the short line threshold without any labels\n") * 3
+    assert sniff_kind(long_prose) == "plain"
+    assert sniff_kind("") == "plain"
+
+
+# -- html -------------------------------------------------------------------
+
+HTML_DOC = (
+    "<html><head><title>t</title><style>p{color:red}</style></head>\n"
+    "<body><nav><a href='/a'>home</a> <a href='/b'>about us</a> "
+    "<a href='/c'>contact page</a></nav>\n"
+    "<p>The quick brown fox jumps over the lazy dog near the river bank today.</p>\n"
+    "<div><a href='/x'>one</a> <a href='/y'>two</a> <a href='/z'>three</a></div>\n"
+    "<p>Second real paragraph with enough words to be kept here.</p>\n"
+    "<script>var x = 1 < 2;</script>\n"
+    "<footer><a href='/p'>privacy</a> terms</footer></body></html>"
+)
+
+
+def test_html_keeps_content_drops_boilerplate():
+    text, spans, kept, dropped = extract_html(HTML_DOC)
+    assert kept == 2
+    assert "quick brown fox" in text
+    assert "Second real paragraph" in text
+    assert "home" not in text          # nav dropped
+    assert "privacy" not in text       # footer dropped
+    assert "color:red" not in text     # style skipped
+    assert "var x" not in text         # script skipped
+    assert dropped >= 2
+
+
+def test_html_spans_index_raw():
+    text, spans, kept, _ = extract_html(HTML_DOC)
+    assert len(spans) == kept
+    for (s, e) in spans:
+        assert 0 <= s < e <= len(HTML_DOC)
+    # first kept span covers the fox paragraph's text in the raw doc
+    s, e = spans[0]
+    assert "quick brown fox" in HTML_DOC[s:e]
+    # sorted + non-overlapping
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 <= s2
+
+
+def test_html_entities_decoded_with_spans():
+    raw = "<p>rock &amp; roll &#x2014; forever and ever after</p>"
+    text, spans, kept, _ = extract_html(raw)
+    assert text == "rock & roll — forever and ever after"
+    assert kept == 1
+    s, e = spans[0]
+    assert raw[s:e] == "rock &amp; roll &#x2014; forever and ever after"
+
+
+def test_html_link_farm_density_dropped():
+    raw = ("<div><a href='/1'>alpha beta</a> <a href='/2'>gamma delta</a> "
+           "<a href='/3'>epsilon zeta</a></div>")
+    text, spans, kept, dropped = extract_html(raw)
+    assert kept == 0 and dropped == 1
+
+
+def test_html_inline_link_low_density_kept():
+    raw = ("<p>A long informative paragraph about freight logistics that "
+           "mentions <a href='/d'>a link</a> but is mostly real content.</p>")
+    text, _, kept, _ = extract_html(raw)
+    assert kept == 1 and "freight logistics" in text
+
+
+def test_html_unclosed_and_attr_gt():
+    raw = ('<body><p>First paragraph has plenty of words to keep around'
+           '<div data-note="a > b">Second block also has enough words here</div>')
+    text, spans, kept, _ = extract_html(raw)
+    assert "First paragraph" in text
+    assert "Second block" in text
+
+
+def test_html_empty_body():
+    text, spans, kept, dropped = extract_html(
+        "<html><head><title>empty</title></head><body></body></html>"
+    )
+    assert text == "" and spans == [] and kept == 0
+
+
+# -- pdf_like -----------------------------------------------------------------
+
+def test_pdf_noise_lines_dropped_numbers_kept():
+    raw = "CONSIGNMENT NOTE\n48211\nPage 2 of 3\n-----\nDATE: 1/2/2026"
+    text, spans, kept, dropped = extract_pdf_like(raw)
+    assert "48211" in text            # standalone number is data
+    assert "Page 2 of 3" not in text
+    assert "-----" not in text
+    assert dropped >= 1
+
+
+def test_pdf_hyphen_merge():
+    text, *_ = extract_pdf_like("about transpor-\ntation costs\nmore lines\nhere")
+    assert "transportation costs" in text
+
+
+def test_pdf_continuation_merge():
+    text, *_ = extract_pdf_like("VEHICLE NO\n: WB73B 6961\nother\nlines")
+    assert "VEHICLE NO : WB73B 6961" in text
+
+
+def test_pdf_two_column_reconstruction():
+    raw = ("left one                right one\n"
+           "left two                right two\n"
+           "left three              right three")
+    text, *_ = extract_pdf_like(raw)
+    ls = text.split("\n")
+    assert ls == ["left one", "left two", "left three",
+                  "right one", "right two", "right three"]
+
+
+def test_pdf_spans_cover_blocks():
+    raw = "HEADER BLOCK\nline two\n\nsecond block\nline b"
+    text, spans, kept, _ = extract_pdf_like(raw)
+    assert kept == 2 and len(spans) == 2
+    s, e = spans[1]
+    assert raw[s:e] == "second block\nline b"
+
+
+# -- plain --------------------------------------------------------------------
+
+def test_plain_crlf_and_ws():
+    text, spans, kept, _ = extract_plain("hello   world\r\n\r\nsecond\tpara")
+    assert text == "hello world\nsecond para"
+    assert kept == 2
+
+
+def test_plain_idempotent():
+    raw = "Το depot  run ​started\r\nnext  line"
+    once, *_ = extract_plain(raw)
+    twice, *_ = extract_plain(once)
+    assert once == twice
+
+
+# -- dispatcher ---------------------------------------------------------------
+
+def test_extract_turn_total_function():
+    for payload in ["", None, "\x00\x01", "<", "<p", "&#xD800;", "&bogus"]:
+        r = extract_turn(payload)
+        assert r.kind in ("html", "pdf_like", "plain")
+        assert r.bytes_out == len(r.extracted_text.encode("utf-8"))
+
+
+def test_extract_turn_metrics():
+    r = extract_turn(HTML_DOC)
+    assert r.kind == "html"
+    assert r.bytes_in == len(HTML_DOC.encode("utf-8"))
+    assert r.blocks_kept == len(r.spans) == 2

@@ -1,0 +1,58 @@
+"""Property-based invariants over the extraction core (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.core.extract import extract_turn
+from ocr_spark.core.plain import extract_plain
+from ocr_spark.fixtures import gen_payload
+
+_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=2000,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_spans_invariants_random_text(raw):
+    r = extract_turn(raw)
+    prev_end = 0
+    for s, e in r.spans:
+        assert 0 <= s < e <= len(raw)      # in-range
+        assert s >= prev_end               # sorted, non-overlapping
+        prev_end = e
+    assert r.blocks_kept == len(r.spans)
+    assert r.bytes_in == len(raw.encode("utf-8"))
+    assert r.bytes_out == len(r.extracted_text.encode("utf-8"))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_spans_invariants_fixture_payloads(seed):
+    raw = gen_payload(random.Random(seed))
+    r = extract_turn(raw)
+    prev_end = 0
+    for s, e in r.spans:
+        assert 0 <= s < e <= len(raw)
+        assert s >= prev_end
+        prev_end = e
+    assert r.blocks_kept == len(r.spans)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_text)
+def test_plain_idempotent(raw):
+    once, *_ = extract_plain(raw)
+    twice, *_ = extract_plain(once)
+    assert once == twice
+
+
+@settings(max_examples=150, deadline=None)
+@given(_text)
+def test_extract_deterministic(raw):
+    assert extract_turn(raw) == extract_turn(raw)
