@@ -1,0 +1,178 @@
+"""Distributed pipeline correctness: the north-rule gate.
+
+Spark output must equal the single-process oracle per turn — exact
+``extracted_text`` + spans equality under stable sort
+``(conv_id, turn_idx)`` — regardless of partitioning, salting, batch
+size, or resume path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.core.extract import extract_turn
+from ocr_spark.fixtures import gen_transcripts
+from ocr_spark.job import (
+    SimulatedFailure,
+    extract_transcripts,
+    read_manifest,
+    run_extraction,
+    with_skew_salt,
+)
+
+
+def _oracle_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Single-process reference oracle output, stable-sorted."""
+    rows = []
+    for r in pdf.itertuples(index=False):
+        e = extract_turn(r.text)
+        rows.append(
+            (
+                r.conv_id,
+                r.turn_idx,
+                e.kind,
+                e.extracted_text,
+                [(s, en) for s, en in e.spans],
+                e.blocks_kept,
+                e.blocks_dropped,
+                e.bytes_in,
+                e.bytes_out,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "conv_id", "turn_idx", "kind", "extracted_text", "spans",
+            "blocks_kept", "blocks_dropped", "bytes_in", "bytes_out",
+        ],
+    )
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _collect_sorted(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    pdf["spans"] = pdf["spans"].apply(
+        lambda arr: [(int(x["start"]), int(x["end"])) for x in arr]
+    )
+    pdf = pdf[
+        ["conv_id", "turn_idx", "kind", "extracted_text", "spans",
+         "blocks_kept", "blocks_dropped", "bytes_in", "bytes_out"]
+    ]
+    for c in ("turn_idx", "blocks_kept", "blocks_dropped"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _assert_equal(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
+    oracle_pdf = oracle_pdf.copy()
+    for c in ("turn_idx", "blocks_kept", "blocks_dropped"):
+        oracle_pdf[c] = oracle_pdf[c].astype("int64")
+    pd.testing.assert_frame_equal(spark_pdf, oracle_pdf, check_dtype=False)
+
+
+@pytest.fixture(scope="module")
+def fixture_pdf():
+    return gen_transcripts(0.001, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle(fixture_pdf):
+    return _oracle_frame(fixture_pdf)
+
+
+def test_declarative_extraction_equals_oracle(spark, transcripts_path, oracle):
+    df = spark.read.parquet(transcripts_path)
+    got = _collect_sorted(extract_transcripts(df))
+    _assert_equal(got, oracle)
+
+
+def test_equality_invariant_to_partitioning(spark, transcripts_path, oracle):
+    """Repartitioning/salting/batch size must not leak into results."""
+    df = spark.read.parquet(transcripts_path)
+    for arrange in (
+        lambda d: d.repartition(37),
+        lambda d: d.repartition(3, "conv_id"),
+        lambda d: d.orderBy(F.desc("turn_idx")),
+        lambda d: with_skew_salt(d, threshold=20, n_salts=4).repartition(
+            16, "conv_id", "salt"
+        ),
+    ):
+        got = _collect_sorted(
+            extract_transcripts(arrange(df)).select(
+                "conv_id", "turn_idx", "kind", "extracted_text", "spans",
+                "blocks_kept", "blocks_dropped", "bytes_in", "bytes_out",
+            )
+        )
+        _assert_equal(got, oracle)
+
+
+def test_small_arrow_batches(spark, transcripts_path, oracle):
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.read.parquet(transcripts_path)
+        got = _collect_sorted(extract_transcripts(df))
+        _assert_equal(got, oracle)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_skew_salt_splits_heavy_conversation(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    heavy_id = (
+        df.groupBy("conv_id").count().orderBy(F.desc("count")).first()["conv_id"]
+    )
+    salted = with_skew_salt(df, threshold=20, n_salts=4)
+    n_salts_heavy = (
+        salted.filter(F.col("conv_id") == heavy_id)
+        .select("salt").distinct().count()
+    )
+    assert n_salts_heavy > 1  # heavy conv spread over multiple salts
+    n_salts_normal = (
+        salted.filter(F.col("conv_id") != heavy_id)
+        .join(
+            salted.groupBy("conv_id").count().filter(F.col("count") <= 20),
+            "conv_id",
+        )
+        .select("salt").distinct().count()
+    )
+    assert n_salts_normal == 1  # normal convs stay unsalted (salt=0)
+
+
+def test_job_end_to_end_with_manifest(spark, transcripts_path, oracle, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    summary = run_extraction(
+        spark, transcripts_path, out, checkpoint_dir=ckpt,
+        n_shards=3, num_partitions=8, salt_threshold=20, n_salts=4,
+    )
+    assert summary["shards_run"] == [0, 1, 2]
+    got = _collect_sorted(spark.read.parquet(out).drop("shard"))
+    _assert_equal(got, oracle)
+    m = read_manifest(spark, out).toPandas()
+    assert m["n_turns"].sum() == len(oracle)
+    assert (m["status"] == "ok").all()
+    assert m["bytes_in"].sum() == oracle["bytes_in"].sum()
+    assert m["blocks_kept"].sum() == oracle["blocks_kept"].sum()
+
+
+def test_resume_after_crash_no_duplicates(spark, transcripts_path, oracle, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(SimulatedFailure):
+        run_extraction(
+            spark, transcripts_path, out, checkpoint_dir=ckpt,
+            n_shards=3, num_partitions=8, fail_after_shard=1,
+        )
+    # shard 0 marked done; shard 1 written but unmarked; shard 2 missing
+    summary = run_extraction(
+        spark, transcripts_path, out, checkpoint_dir=ckpt,
+        n_shards=3, num_partitions=8,
+    )
+    assert summary["shards_skipped"] == [0]
+    assert summary["shards_run"] == [1, 2]
+    got = _collect_sorted(spark.read.parquet(out).drop("shard"))
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+    _assert_equal(got, oracle)
