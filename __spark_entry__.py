@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline (sniff → route →
+extract → normalize, one Arrow-batch UDF stage) over the sf0.001
+documents table. ``queries``/``oracle_sql`` expose the SURVEY.md §2
+operator suite plus the training-data operators (dedup, similarity
+search, text analysis, multimodal plumbing); implementations live in
+``ocr_spark.queries`` (Spark) with DuckDB oracle twins generated in the
+same module so both sides share constants.
 """
 
 from __future__ import annotations
@@ -16,23 +18,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from ocr_spark.queries import q_extract_documents
+
+    return q_extract_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from ocr_spark.queries import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query.
+    Keys absent here (extract_transcripts, extract_documents,
+    multimodal_features) are non-SQL-expressible pipelines — the
+    driver records a rows-only check; their exact-equality gate is
+    tests/test_pipeline.py vs the pure-Python reference oracle.
     """
-    return {}
+    from ocr_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,125 @@
+"""Text-analysis column functions for the training-data pipeline.
+
+Everything here is a **native Catalyst expression** (JVM-side,
+whole-stage-codegen'd, no Python in the hot path) — the scale rule from
+SURVEY.md §4: UDFs only where built-ins can't express the semantics.
+
+These generalize the reference's scalar string/regex functions
+(SURVEY.md §2.3: F3 regex-extract, F8 numeric parse, F12 case cleanup)
+into the operations a 100 TB corpus pipeline needs: token counting,
+language ID, quality scoring, fingerprinting, shingling.
+
+Each function documents its ANSI-SQL twin (used by the DuckDB oracle in
+``__spark_entry__``); keeping both sides to integer / md5-string /
+single-division arithmetic makes results bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets (public common words). The
+# language-ID heuristic counts whole-token hits per set — an n-gram-free
+# variant of the classic stopword profile method, chosen because it is
+# expressible identically in Spark and ANSI SQL.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "nicht", "ein", "ist", "zu"),
+    "es": ("el", "la", "los", "que", "y", "en", "es", "un"),
+    "fr": ("le", "la", "les", "et", "que", "un", "est", "dans"),
+}
+# Deterministic priority order for score ties (first wins).
+LANG_PRIORITY: tuple[str, ...] = ("en", "de", "es", "fr")
+
+# CJK unified ideographs — presence routes to zh before scoring.
+CJK_RE = r"[一-鿿]"
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization. SQL twin: regexp_split_to_array(trim(x), '\\s+')."""
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def char_count(c: Column) -> Column:
+    return F.length(c)
+
+
+def _word_re(word: str) -> str:
+    return rf"\b{word}\b"
+
+
+def stopword_hits(c: Column, lang: str) -> Column:
+    """Total whole-word hits of the language's stopword set.
+    SQL twin: len(regexp_extract_all(x, '\\b(w1|w2|...)\\b'))."""
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(c, F.lit(pat))
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: CJK presence → zh; else argmax stopword
+    hits with deterministic priority ties; zero hits everywhere → und."""
+    scores = {lang: stopword_hits(c, lang) for lang in LANG_PRIORITY}
+    best: Column = F.lit(0)
+    for lang in LANG_PRIORITY:
+        best = F.greatest(best, scores[lang])
+    expr = F.when(F.regexp_count(c, F.lit(CJK_RE)) > 0, F.lit("zh"))
+    expr = expr.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(c: Column) -> Column:
+    """Document quality in [0,1]: combines length band, stopword ratio,
+    and mean token length band — the reference's noise guards
+    (``OCR API 2/ocr_utils.py:248-252``) generalized to corpus-quality
+    heuristics (Gopher-style rules, public). Integer counts + single
+    divisions only → engine-portable."""
+    n_tok = token_count(c).cast("double")
+    n_chars = char_count(c).cast("double")
+    stop = (
+        sum(
+            (stopword_hits(c, lang) for lang in LANG_PRIORITY),
+            F.lit(0),
+        )
+    ).cast("double")
+    mean_tok_len = (n_chars - (n_tok - F.lit(1.0))) / n_tok  # chars minus separators
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_len_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = stop / n_tok
+    return F.round(
+        F.lit(0.4) * len_ok + F.lit(0.3) * tok_len_ok + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * 4),
+        6,
+    )
+
+
+def fingerprint(c: Column) -> Column:
+    """Exact-dup fingerprint: md5 of case-folded, whitespace-collapsed
+    text (generalizes F12 cleanup + the reference's dedup-on-append J5).
+    SQL twin: md5(regexp_replace(lower(trim(x)), '\\s+', ' '))."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+    SQL twin: list_distinct(list_transform(range(len(w)-n+1),
+    i -> w[i+1] || ' ' || ... )). Both sides 1-index element access."""
+    w = tokens(c)
+    count = F.size(w) - F.lit(n - 1)
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def shingle(i: Column) -> Column:
+        parts = [F.element_at(w, (i + j).cast("int")) for j in range(n)]
+        return F.concat_ws(" ", *parts)
+
+    return F.array_distinct(F.transform(idx, shingle))

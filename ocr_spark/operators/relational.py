@@ -1,0 +1,246 @@
+"""Relational operator suite over the driver testdata tables.
+
+Each function is the Spark side of a SURVEY.md §2 operator mapping; its
+DuckDB oracle twin lives in ``__spark_entry__.oracle_sql``. Engine
+parity rules used throughout:
+
+- Money/quantity aggregation goes through DECIMAL casts → sums are
+  exact and partition-order-independent (doubles would drift between
+  Spark's parallel and DuckDB's sequential fold).
+- Every rank/top-k has a total deterministic ORDER BY (unique-key
+  tie-break).
+- Timestamps are emitted as formatted strings (engine-neutral).
+
+Scale notes are per-function docstrings: which side broadcasts, where
+the shuffles are, what AQE handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.io import load_table
+
+
+# --------------------------------------------------------------------------
+# Aggregation pipeline (SURVEY A1/A2: SUM/MAX over harvested numerics)
+# --------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped rollup: one scan, map-side partial agg, one
+    shuffle on the (2×2-value) grouping key. At 100 TB this is
+    scan-bound; DECIMAL sums keep it exact at any width."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(15,4)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(15,4)") - dec("l_discount"))).cast(
+                    "decimal(30,8)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join+agg+topk: customer filter broadcast into
+    orders⋈lineitem; revenue decimal-exact; top 10 deterministic."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.withColumn(
+            "rev",
+            (
+                F.col("l_extendedprice").cast("decimal(15,4)")
+                * (F.lit(1).cast("decimal(15,4)") - F.col("l_discount").cast("decimal(15,4)"))
+            ).cast("decimal(30,8)"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "revenue",
+    )
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join chain region⋈nation⋈supplier⋈lineitem: every dim side
+    broadcast (region=5, nation=25, supplier=100 rows — and on a real
+    cluster still ≪ the 10 MB auto-broadcast bar), so the only shuffle
+    is the final group-by."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(15,4)")
+                    * (F.lit(1).cast("decimal(15,4)") - F.col("l_discount").cast("decimal(15,4)"))
+                ).cast("decimal(30,8)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mode / argmax / latest (SURVEY A3/A4/A5)
+# --------------------------------------------------------------------------
+
+def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 deterministic mode: most frequent event_type per user, ties →
+    lexicographically smallest (the reference returns "None" on ties,
+    App.jsx:496-544 — we pick a total order instead so the result is
+    well-defined under any parallelism)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
+    )
+
+
+def argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 argmax: per user, the event with the max value (tie → min
+    event_id). row_number over a total order — portable, unlike
+    engine-specific max_by tie semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), F.round("value", 6).alias("top_value"))
+    )
+
+
+def latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 max-over-dates per user; timestamp out as string."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("latest_ts"))
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A8 pivot: per-user counts by event_type as fixed columns
+    (conditional aggregation — the reference's transaction pivot,
+    download.jsx:184-264, with a static column set so the schema is
+    stable and no driver-side distinct/collect is needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+def progress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 progress ratio: share of each user's events that are 'click'
+    (integer counts + single division → portable)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("click_ratio")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pagination / dedup (SURVEY J4/J5)
+# --------------------------------------------------------------------------
+
+def paginate_events(spark: SparkSession, sf_dir: str, page: int = 11, size: int = 10) -> DataFrame:
+    """J4 pagination via row_number over a total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("event_id").asc())
+    lo, hi = (page - 1) * size, page * size
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 idempotent dedup: distinct (user_id, event_type) pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+# --------------------------------------------------------------------------
+# Line-window operators over exploded token positions (SURVEY W1/W2)
+# --------------------------------------------------------------------------
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+
+
+def label_next_value(spark: SparkSession, sf_dir: str, label: str = "customer") -> DataFrame:
+    """W2 relational analogue — label token → next-position value
+    (first occurrence per doc). In the engine proper this runs
+    in-batch (core/pdf_layout.py); this is the Window.partitionBy
+    formulation for the relational surface."""
+    toks = _doc_tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = toks.withColumn("nxt", F.lead("word").over(w))
+    matches = led.filter(F.col("word") == label)
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        matches.withColumn("rn", F.row_number().over(w2))
+        .filter((F.col("rn") == 1) & F.col("nxt").isNotNull())
+        .select("doc_id", F.col("nxt").alias("next_word"))
+    )
+
+
+def anchor_lookback(
+    spark: SparkSession, sf_dir: str, anchor: str = "spark", target: str = "table"
+) -> DataFrame:
+    """W1 relational analogue — at each anchor token, the nearest
+    target token within the previous 10 positions (frame max of
+    conditional pos). First anchor per doc."""
+    toks = _doc_tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-10, -1)
+    scanned = toks.withColumn(
+        "back_pos", F.max(F.when(F.col("word") == target, F.col("pos"))).over(w)
+    )
+    anchors = scanned.filter(F.col("word") == anchor)
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        anchors.withColumn("rn", F.row_number().over(w2))
+        .filter((F.col("rn") == 1) & F.col("back_pos").isNotNull())
+        .select("doc_id", F.col("pos").alias("anchor_pos"), F.col("back_pos"))
+    )

@@ -1,0 +1,185 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+a sign-bucket LSH variant (the scale path).
+
+Determinism contract (shared with the DuckDB oracle): the dot product
+and norms are **generated left-to-right expression chains** over fixed
+``dim`` components, each cast to double before multiply — a sequential
+IEEE-754 fold that every engine evaluates bit-identically (no
+reduce-order ambiguity, unlike SUM over an exploded view). Ranking ties
+break on vec_id.
+
+Scale story:
+
+- **Brute force** is a broadcast nested loop: queries (small) are
+  broadcast against the full corpus — one scan, no shuffle of the big
+  side, O(Q×N) flops JVM-side under codegen. Correct baseline + the
+  verifier for the ANN path.
+- **Sign-LSH** buckets vectors by the sign pattern of their first
+  ``bits`` components (a fixed-hyperplane SimHash — axis-aligned
+  planes keep it expressible in ANSI SQL). Candidates share a bucket →
+  the join is an equi-join on the bucket key; probing flips are cheap
+  to add. Recall is approximate by design; the oracle runs the *same
+  algorithm*, so correctness checks algorithm fidelity, while
+  ``tests/`` check recall against brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+
+
+def dot_expr(a: str, b: str, dim: int = EMB_DIM) -> Column:
+    """Left-to-right chained dot product (Spark arrays are 0-indexed)."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dim)
+    )
+    return F.expr(terms)
+
+
+def norm_expr(a: str, dim: int = EMB_DIM) -> Column:
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(dim)
+    )
+    return F.expr(f"SQRT({terms})")
+
+
+def dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """The same chain in ANSI/DuckDB SQL (1-indexed lists)."""
+    return " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)" for i in range(dim)
+    )
+
+
+def norm_sql(a: str, dim: int = EMB_DIM) -> str:
+    return (
+        "SQRT("
+        + " + ".join(
+            f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({a}[{i + 1}] AS DOUBLE)" for i in range(dim)
+        )
+        + ")"
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Brute-force cosine top-k: first ``n_queries`` vec_ids as queries,
+    broadcast against the full table. Output (q_id, vec_id, sim, rank)."""
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr("q_emb", "embedding", dim)
+                / (norm_expr("q_emb", dim) * norm_expr("embedding", dim)),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", "rank")
+    )
+
+
+def sign_bucket(col: str, bits: int = 8) -> Column:
+    """Axis-aligned sign-LSH bucket key: '+'/'-' per leading component."""
+    chars = [
+        F.when(F.expr(f"CAST({col}[{i}] AS DOUBLE)") >= 0, F.lit("+")).otherwise(F.lit("-"))
+        for i in range(bits)
+    ]
+    return F.concat(*chars)
+
+
+def sign_bucket_sql(col: str, bits: int = 8) -> str:
+    parts = " || ".join(
+        f"(CASE WHEN CAST({col}[{i + 1}] AS DOUBLE) >= 0 THEN '+' ELSE '-' END)"
+        for i in range(bits)
+    )
+    return f"({parts})"
+
+
+def cosine_neardup(
+    emb: DataFrame, threshold: float = 0.4, dim: int = EMB_DIM
+) -> DataFrame:
+    """Exact embedding near-dup pairs (vec_id_a < vec_id_b, sim ≥ t).
+    O(N²) verifier — the LSH variant below is the scale path."""
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr("e_a", "e_b", dim) / (norm_expr("e_a", dim) * norm_expr("e_b", dim)),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def cosine_neardup_lsh(
+    emb: DataFrame, threshold: float = 0.4, bits: int = 8, dim: int = EMB_DIM
+) -> DataFrame:
+    """Sign-LSH near-dup: equi-join within sign buckets, then exact
+    cosine verify. Shuffle is O(N); pair work is per-bucket quadratic,
+    bounded by the bucket histogram (2^bits keys)."""
+    withb = emb.withColumn("bucket", sign_bucket("embedding", bits))
+    a = withb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr("e_a", "e_b", dim) / (norm_expr("e_a", dim) * norm_expr("e_b", dim)),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def label_centroid_count(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Per-label vector counts + exact (decimal-summed) centroid of the
+    first component — demonstrates order-independent float aggregation:
+    components go through DECIMAL(25,9) so the sum is exact regardless
+    of partitioning, then back to double for output."""
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # cast the exact decimal sum to double BEFORE dividing —
+            # decimal-division scale rules differ across engines
+            (
+                F.sum(F.expr("CAST(CAST(embedding[0] AS DOUBLE) AS DECIMAL(25,9))")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("centroid_c0"),
+        )
+        .withColumn("centroid_c0", F.round(F.col("centroid_c0"), 6))
+    )

@@ -1,0 +1,611 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracle SQL.
+
+``SPARK_QUERIES[name](spark, sf_dir) -> DataFrame`` and
+``ORACLE_SQL[name]`` (ANSI SQL over the driver's pre-registered views)
+compute the same result, column-name and value identical. Parity rules
+(documented once here, applied everywhere):
+
+- **hashes**: only md5-hex-strings (portable; lexicographic = numeric
+  128-bit order, so min(md5(x)) is a valid MinHash in both engines);
+- **money/quantity sums**: DECIMAL(15,4)/(30,8) casts — exact, fold-
+  order-independent — cast to DOUBLE only at the end;
+- **float folds** (dot products, norms): generated left-to-right
+  expression chains, identical IEEE evaluation order in both engines;
+- **ranking**: every row_number has a unique-key tie-break;
+- **timestamps**: emitted as strftime strings;
+- **rounding**: round(x, 6) only on values that are bit-identical
+  across engines by construction (ties at the 7th decimal are not
+  representable in binary, so rounding-mode differences can't bite).
+
+Queries with no oracle entry (non-SQL-expressible: the extraction
+pipeline itself, stub multimodal decode) get the driver's rows-only
+check and are covered instead by the in-repo oracle tests
+(tests/test_pipeline.py — exact per-turn equality vs the pure-Python
+reference implementation).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import (
+    LANG_PRIORITY,
+    STOPWORDS,
+    char_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from ocr_spark.operators import relational as R
+from ocr_spark.operators import similarity as S
+from ocr_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ocr_spark.operators.multimodal import extract_media_features, to_media_table
+from ocr_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars_actual"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(_emb(spark, sf_dir), n_queries=10, k=3)
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_neardup(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_neardup_lsh(_emb(spark, sf_dir), threshold=0.3, bits=4)
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_centroid_count(_emb(spark, sf_dir))
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = to_media_table(_docs(spark, sf_dir))
+    return media.select(
+        "doc_id", "media_type", "n_bytes", F.md5(F.col("payload")).alias("checksum")
+    )
+
+
+def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")).cast(
+        "int"
+    )
+    return ev.select("user_id", k.alias("k")).groupBy("user_id").agg(
+        F.sum("k").alias("k_sum"),
+        F.count("k").alias("k_n"),
+    )
+
+
+# rows-only queries (no SQL oracle): the extraction engine itself
+
+_FIXTURE_CACHE: dict[float, str] = {}
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def transcripts_fixture_path(sf: float) -> str:
+    """Deterministic synthetic transcripts parquet for this sf (cached)."""
+    if sf not in _FIXTURE_CACHE:
+        from ocr_spark.fixtures import write_transcripts
+
+        path = os.path.join(
+            tempfile.gettempdir(), f"ocr_spark_transcripts_sf{sf}.parquet"
+        )
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            write_transcripts(tmp, sf)
+            os.replace(tmp, path)
+        _FIXTURE_CACHE[sf] = path
+    return _FIXTURE_CACHE[sf]
+
+
+def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline: synthetic transcripts (same sf tier as
+    sf_dir) → sniff → route → extract → spans+metrics."""
+    from ocr_spark.job import ensure_package_shipped, extract_transcripts
+
+    ensure_package_shipped(spark)
+    df = spark.read.parquet(transcripts_fixture_path(_sf_of(sf_dir)))
+    return extract_transcripts(df)
+
+
+def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over the driver's documents table (plain-text path)."""
+    from ocr_spark.job import ensure_package_shipped
+    from ocr_spark.udfs import extract_udf
+
+    ensure_package_shipped(spark)
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", extract_udf(F.col("text")).alias("x")).select(
+        "doc_id", "x.*"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.job import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    return extract_media_features(to_media_table(_docs(spark, sf_dir)))
+
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # relational operator suite (SURVEY §2.5/2.6 mappings)
+    "q1_pricing_summary": R.pricing_summary,
+    "q3_top_orders": R.top_orders,
+    "q5_region_revenue": R.region_revenue,
+    "mode_event_type": R.mode_event_type,
+    "argmax_event": R.argmax_event,
+    "latest_event": R.latest_event,
+    "event_type_pivot": R.event_type_pivot,
+    "progress_ratio": R.progress_ratio,
+    "paginate_events": R.paginate_events,
+    "distinct_user_types": R.distinct_user_types,
+    "events_per_day": q_events_per_day,
+    "props_sum": q_props_sum,
+    # line-window analogues (SURVEY §2.4 W1/W2)
+    "w2_label_next": R.label_next_value,
+    "w1_anchor_lookback": R.anchor_lookback,
+    # text analysis (training-data ops)
+    "text_stats": q_text_stats,
+    "lang_id_docs": q_lang_id,
+    "quality_score_docs": q_quality,
+    "fingerprint_docs": q_fingerprint,
+    # dedup family
+    "dedup_exact_docs": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_docs": q_simhash,
+    # similarity search
+    "knn_topk": q_knn,
+    "embedding_neardup": q_emb_neardup,
+    "embedding_neardup_lsh": q_emb_neardup_lsh,
+    "label_centroids": q_label_centroids,
+    # multimodal
+    "media_meta": q_media_meta,
+    # extraction engine (rows-only; exact-equality gate lives in tests/)
+    "extract_transcripts": q_extract_transcripts,
+    "extract_documents": q_extract_documents,
+    "multimodal_features": q_multimodal_features,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (generated where repetitive)
+# ---------------------------------------------------------------------------
+
+_REV_TERM = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(15,4)) * "
+    "(CAST(1 AS DECIMAL(15,4)) - CAST(l_discount AS DECIMAL(15,4))) AS DECIMAL(30,8))"
+)
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_SHINGLE_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+    range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS sh
+  FROM toks
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+"""
+
+
+def _jaccard_select(pair_src: str, threshold: float) -> str:
+    return f"""
+common AS (
+  SELECT id_a, id_b, count(*) AS common
+  FROM {pair_src}
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b,
+       round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= {threshold}
+"""
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4, max_bucket: int = 64,
+                 threshold: float = 0.5) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('s{i}|' || sh)) AS sig{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"sig{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (SELECT id, {sig_cols} FROM sh GROUP BY id),
+buckets AS ({band_rows}),
+counts AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY 1, 2),
+bounded AS (
+  SELECT b.id, b.band, b.bucket FROM buckets b
+  JOIN counts c USING (band, bucket) WHERE c.n <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bounded a JOIN bounded b USING (band, bucket)
+  WHERE a.id < b.id
+),
+hits AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+),
+{_jaccard_select("hits", threshold)}
+"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, unnest({_TOKS}) AS tok FROM documents
+),
+h AS (SELECT id, md5(tok) AS h FROM toks),
+kk AS (SELECT id, h, unnest(range(1, 17)) AS k FROM h),
+d AS (
+  SELECT id, k, strpos('0123456789abcdef', substr(h, CAST(k AS INTEGER), 1)) - 1 AS d
+  FROM kk
+),
+b AS (SELECT id, k, unnest(range(0, 4)) AS m, d FROM d),
+c AS (
+  SELECT id, k, m,
+         (CAST(floor(d / power(2, m)) AS BIGINT) % 2) * 2 - 1 AS contrib
+  FROM b
+),
+v AS (SELECT id, k, m, sum(contrib) AS s FROM c GROUP BY 1, 2, 3),
+dg AS (
+  SELECT id, k,
+         CAST(sum((CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                  * CAST(power(2, m) AS INTEGER)) AS INTEGER) AS dig
+  FROM v GROUP BY 1, 2
+),
+ch AS (SELECT id, k, substr('0123456789abcdef', dig + 1, 1) AS c FROM dg)
+SELECT id, string_agg(c, '' ORDER BY k) AS simhash FROM ch GROUP BY id
+"""
+
+
+def _stop_count(lang: str) -> str:
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER)"
+
+
+def _lang_id_sql() -> str:
+    scores = ", ".join(f"{_stop_count(lang)} AS {lang}" for lang in LANG_PRIORITY)
+    best = "greatest(0, " + ", ".join(LANG_PRIORITY) + ")"
+    whens = "\n  ".join(
+        f"WHEN {lang} = {best} THEN '{lang}'" for lang in LANG_PRIORITY
+    )
+    return f"""
+WITH s AS (SELECT doc_id, text, {scores} FROM documents)
+SELECT doc_id, CASE
+  WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+  WHEN {best} = 0 THEN 'und'
+  {whens}
+  ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
+def _quality_sql() -> str:
+    stop = " + ".join(_stop_count(lang) for lang in LANG_PRIORITY)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST({stop} AS DOUBLE) AS stop
+  FROM documents
+)
+SELECT doc_id,
+  round(
+    0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (CASE WHEN ((n_chars - (n_tok - 1.0)) / n_tok) >= 2.0
+                   AND ((n_chars - (n_tok - 1.0)) / n_tok) <= 12.0
+              THEN 1.0 ELSE 0.0 END)
+    + 0.3 * least(1.0, (stop / n_tok) * 4),
+  6) AS quality
+FROM t
+"""
+
+
+_DOT_QE = S.dot_sql("q_emb", "e.embedding")
+_NORM_Q = S.norm_sql("q_emb")
+_NORM_E = S.norm_sql("e.embedding")
+_DOT_AB = S.dot_sql("a.embedding", "b.embedding")
+_NORM_A = S.norm_sql("a.embedding")
+_NORM_B = S.norm_sql("b.embedding")
+
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+_DOC_TOKENS_CTE = """
+toks AS (
+  SELECT doc_id,
+         unnest(str_split(text, ' ')) AS word,
+         CAST(unnest(range(len(str_split(text, ' ')))) AS INTEGER) AS pos
+  FROM documents
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_base_price,
+  CAST(sum({_REV_TERM}) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q3_top_orders": f"""
+WITH rev AS (
+  SELECT o_orderkey, o_orderdate, CAST(sum({_REV_TERM}) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2
+)
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, revenue
+FROM rev ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+""",
+    "q5_region_revenue": f"""
+SELECT r_name,
+  CAST(sum({_REV_TERM}) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    "mode_event_type": """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_event_type, n FROM r WHERE rn = 1
+""",
+    "argmax_event": """
+WITH r AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS top_event_type, round(value, 6) AS top_value
+FROM r WHERE rn = 1
+""",
+    "latest_event": """
+SELECT user_id, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
+FROM events GROUP BY user_id
+""",
+    "event_type_pivot": """
+SELECT user_id,
+  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY user_id
+""",
+    "progress_ratio": """
+SELECT user_id,
+  round(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) / count(*), 6) AS click_ratio
+FROM events GROUP BY user_id
+""",
+    "paginate_events": """
+WITH r AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (ORDER BY event_id ASC) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type FROM r WHERE rn > 100 AND rn <= 110
+""",
+    "distinct_user_types": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    "events_per_day": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+FROM events GROUP BY 1
+""",
+    "props_sum": """
+WITH k AS (
+  SELECT user_id,
+         CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INTEGER) AS k
+  FROM events
+)
+SELECT user_id, CAST(sum(k) AS BIGINT) AS k_sum, count(k) AS k_n
+FROM k GROUP BY user_id
+""",
+    "w2_label_next": f"""
+WITH {_DOC_TOKENS_CTE},
+led AS (
+  SELECT doc_id, pos, word,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+),
+m AS (
+  SELECT doc_id, nxt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM led WHERE word = 'customer'
+)
+SELECT doc_id, nxt AS next_word FROM m WHERE rn = 1 AND nxt IS NOT NULL
+""",
+    "w1_anchor_lookback": f"""
+WITH {_DOC_TOKENS_CTE},
+scanned AS (
+  SELECT doc_id, pos, word,
+         max(CASE WHEN word = 'table' THEN pos END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS back_pos
+  FROM toks
+),
+a AS (
+  SELECT doc_id, pos, back_pos,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM scanned WHERE word = 'spark'
+)
+SELECT doc_id, pos AS anchor_pos, CAST(back_pos AS INTEGER) AS back_pos
+FROM a WHERE rn = 1 AND back_pos IS NOT NULL
+""",
+    "text_stats": f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents
+""",
+    "lang_id_docs": _lang_id_sql(),
+    "quality_score_docs": _quality_sql(),
+    "fingerprint_docs": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+    "dedup_exact_docs": f"""
+SELECT {_FP_SQL} AS fp, min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+    "ngram_jaccard": f"""
+WITH {_SHINGLE_CTE},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.id < b.id
+),
+{_jaccard_select("pairs", 0.5)}
+""",
+    "minhash_lsh": _minhash_sql(),
+    "simhash_docs": _simhash_sql(),
+    "knn_topk": f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+),
+s AS (
+  SELECT q.q_id, e.vec_id,
+         round(({_DOT_QE}) / (({_NORM_Q}) * ({_NORM_E})), 6) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.q_id
+),
+r AS (
+  SELECT q_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 3
+""",
+    "embedding_neardup": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(({_DOT_AB}) / (({_NORM_A}) * ({_NORM_B})), 6) AS sim
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(({_DOT_AB}) / (({_NORM_A}) * ({_NORM_B})), 6) >= 0.4
+""",
+    "embedding_neardup_lsh": f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {S.sign_bucket_sql("embedding", 4)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(({_DOT_AB}) / (({_NORM_A}) * ({_NORM_B})), 6) AS sim
+FROM wb a JOIN wb b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND round(({_DOT_AB}) / (({_NORM_A}) * ({_NORM_B})), 6) >= 0.3
+""",
+    "label_centroids": """
+SELECT label, count(*) AS n,
+  round(CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE)
+        / count(*), 6) AS centroid_c0
+FROM embeddings GROUP BY label
+""",
+    "media_meta": """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS checksum
+FROM documents
+""",
+}
