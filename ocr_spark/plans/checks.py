@@ -23,17 +23,26 @@ def physical_plan(df: DataFrame) -> str:
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan
     (AQE may later coalesce them, but each is a logical full shuffle).
-    Broadcast exchanges are excluded — they ship only the small side."""
+    Broadcast exchanges are excluded — they ship only the small side.
+    Counts formatted-mode detail headers so tree lines aren't
+    double-counted; `BroadcastExchange` is a distinct operator name and
+    never matches."""
     plan = physical_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning"
-                          r"|\bExchange RoundRobinPartitioning", plan))
+    return len(re.findall(r"^\(\d+\) Exchange\s*$", plan, re.MULTILINE))
 
 
 def udf_stage_count(df: DataFrame) -> int:
     """Number of Python/Arrow evaluation operators. The extraction job
     must have exactly one (the fused sniff→route→extract batch UDF)."""
     plan = physical_plan(df)
-    return len(re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
+    return len(
+        re.findall(
+            r"^\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+            r"FlatMapGroupsInPandas)\b",
+            plan,
+            re.MULTILINE,
+        )
+    )
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:

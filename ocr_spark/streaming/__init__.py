@@ -1,0 +1,9 @@
+"""Structured Streaming surface (optional path; SURVEY.md §2.7)."""
+
+from ocr_spark.streaming.extract_stream import (
+    run_stream_once,
+    streaming_extract,
+    windowed_turn_counts,
+)
+
+__all__ = ["streaming_extract", "windowed_turn_counts", "run_stream_once"]

@@ -1,0 +1,80 @@
+"""Streaming variant of the extraction pipeline.
+
+The reference's "streaming" is a control-plane progress channel with
+at-most-once, lose-on-disconnect semantics (``OCR API 2/api.py:48,
+141-178`` — SURVEY.md §2.7); the batch job already supersedes it with
+checkpoint-resume. This module is the *data-plane* streaming surface
+for deployments that tail an append-only transcripts table instead of
+running scheduled batches:
+
+- ``streaming_extract``: file-source ``readStream`` → the SAME
+  Arrow-batch extraction UDF (stateless per-turn ⇒ identical results
+  to the batch path by construction) → ``writeStream`` parquet with
+  exactly-once file-sink semantics via the streaming checkpoint.
+- ``windowed_turn_counts``: event-time windowed aggregation with a
+  watermark for late turns — the stateful-operator pattern
+  (conv activity rollup) the reference has no analogue for.
+
+Scale notes: the extraction stage is shuffle-free (per-turn map);
+the windowed agg shuffles on (window, conv bucket) with state bounded
+by the watermark horizon. ``Trigger.AvailableNow`` gives batch-job
+semantics for tests and backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.schema import TRANSCRIPT_SCHEMA
+from ocr_spark.udfs import extract_udf
+
+
+def streaming_extract(spark: SparkSession, input_dir: str) -> DataFrame:
+    """readStream over a transcripts parquet directory → extraction."""
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    return src.select(
+        "conv_id", "turn_idx", extract_udf(F.col("text")).alias("x")
+    ).select("conv_id", "turn_idx", "x.*")
+
+
+def windowed_turn_counts(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-conversation turn counts in event-time windows, tolerant of
+    late data up to the watermark."""
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+
+
+def run_stream_once(
+    df: DataFrame, output_dir: str, checkpoint_dir: str, mode: str = "append"
+) -> None:
+    """Drain all available input with AvailableNow, then stop —
+    batch-equivalent execution of a streaming plan (tests, backfill)."""
+    q = (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,88 @@
+"""Physical-plan quality gates (SURVEY.md §4): the plan IS the
+performance contract at 100 TB, so assert its shape, not just results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.plans.checks import (
+    count_exchanges,
+    physical_plan,
+    read_schema_columns,
+    udf_stage_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_extraction_single_udf_stage_no_shuffle(spark, transcripts_path):
+    from ocr_spark.job import ensure_package_shipped, extract_transcripts
+
+    ensure_package_shipped(spark)
+    df = extract_transcripts(spark.read.parquet(transcripts_path))
+    assert udf_stage_count(df) == 1  # fused sniff→route→extract
+    assert count_exchanges(df) == 0  # pipeline is map-only until repartition
+    # column pruning reaches the scan: role/tool/ts never read
+    cols = read_schema_columns(df)
+    assert set(cols) == {"conv_id", "turn_idx", "text"}
+
+
+def test_pricing_summary_single_shuffle_and_pruning(spark):
+    from ocr_spark.operators.relational import pricing_summary
+
+    df = pricing_summary(spark, SF_DIR)
+    # one shuffle for the groupBy (plus AQE's optional sort for orderBy)
+    assert count_exchanges(df) <= 2
+    cols = read_schema_columns(df)
+    assert "l_extendedprice" in cols and "l_shipdate" not in cols
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    from ocr_spark.operators.relational import region_revenue
+
+    df = region_revenue(spark, SF_DIR)
+    plan = physical_plan(df)
+    # three dims broadcast: 3 detail headers (tree lines double-count)
+    import re
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_orders_broadcasts_customer(spark):
+    from ocr_spark.operators.relational import top_orders
+
+    df = top_orders(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # filter pushdown on mktsegment reaches the customer scan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_dedup_exact_is_partial_aggregated(spark):
+    from ocr_spark.operators.dedup import dedup_exact
+    from ocr_spark.sources.io import load_table
+
+    df = dedup_exact(load_table(spark, SF_DIR, "documents"))
+    plan = physical_plan(df)
+    # map-side combine before the exchange (two HashAggregates)
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(df) == 1
+
+
+def test_extraction_job_exchange_count(spark, transcripts_path):
+    """The full job plan: exactly one hash repartition (the explicit
+    salted exchange) on the extraction path."""
+    from ocr_spark.job import ensure_package_shipped, with_skew_salt
+    from ocr_spark.udfs import extract_udf
+    from pyspark.sql import functions as F
+
+    ensure_package_shipped(spark)
+    df = spark.read.parquet(transcripts_path).select("conv_id", "turn_idx", "text")
+    salted = with_skew_salt(df).repartition(32, "conv_id", "salt")
+    out = salted.select("conv_id", "turn_idx", extract_udf(F.col("text")).alias("x"))
+    plan = physical_plan(out)
+    # salt pre-pass: its aggregate exchange feeds a broadcast, leaving
+    # the single row-path repartition exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in plan  # heavy-hitter list is broadcast
