@@ -244,3 +244,104 @@ def anchor_lookback(
         .filter((F.col("rn") == 1) & F.col("back_pos").isNotNull())
         .select("doc_id", F.col("pos").alias("anchor_pos"), F.col("back_pos"))
     )
+
+
+def label_offset2(spark: SparkSession, sf_dir: str, label: str = "group") -> DataFrame:
+    """W3 relational analogue — value at position label+2 (the
+    reference's From/(State) offset-2 capture, ocr_utils.py:131-154),
+    first occurrence per doc."""
+    toks = _doc_tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = toks.withColumn("plus2", F.lead("word", 2).over(w))
+    m = led.filter(F.col("word") == label)
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        m.withColumn("rn", F.row_number().over(w2))
+        .filter((F.col("rn") == 1) & F.col("plus2").isNotNull())
+        .select("doc_id", F.col("plus2").alias("value_at_2"))
+    )
+
+
+def multi_pass_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 relational analogue — the reference's 3-pass vehicle search
+    (weighbridge.py:28-81) as an ordered coalesce of strategies:
+    (1) token after first 'hash', (2) token after first 'merge',
+    (3) first token of the doc."""
+    toks = _doc_tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    led = toks.withColumn("nxt", F.lead("word").over(w))
+
+    def first_after(label: str) -> DataFrame:
+        m = led.filter((F.col("word") == label) & F.col("nxt").isNotNull())
+        wl = Window.partitionBy("doc_id").orderBy("pos")
+        return (
+            m.withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("nxt").alias(f"after_{label}"))
+        )
+
+    first_tok = toks.filter(F.col("pos") == 0).select(
+        "doc_id", F.col("word").alias("first_word")
+    )
+    return (
+        first_tok.join(first_after("hash"), "doc_id", "left")
+        .join(first_after("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("after_hash", "after_merge", "first_word").alias("found"),
+            F.when(F.col("after_hash").isNotNull(), 1)
+            .when(F.col("after_merge").isNotNull(), 2)
+            .otherwise(3)
+            .alias("pass_no"),
+        )
+    )
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F11 date ops: month bucketing + decimal-exact totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) revenue — hierarchical totals in one
+    pass (grouping-sets machinery; subtotal rows carry NULLs)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(F.col("l_quantity").cast("decimal(15,4)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def format_tons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10 unit formatting: kg→tons with printf formatting
+    (weighbridge.py:103 `f"{kg/1000:.3f} Tons"`). Integer-derived
+    values only — never exactly at a rounding tie, so C/Java printf
+    agree."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")).cast("int")
+    return (
+        ev.select("user_id", k.alias("k"))
+        .groupBy("user_id")
+        .agg(F.max("k").alias("max_k"))
+        .select(
+            "user_id",
+            F.format_string("%.3f Tons", F.col("max_k") / F.lit(1000.0)).alias("tons"),
+        )
+    )

@@ -130,6 +130,16 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 zip/posexplode analogue: array position-join — components of
+    the first 4 embedding dims as rows."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 20)
+    return e.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "c"),
+    ).select("vec_id", "pos", F.round(F.col("c").cast("double"), 6).alias("c"))
+
+
 def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
@@ -220,6 +230,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # line-window analogues (SURVEY §2.4 W1/W2)
     "w2_label_next": R.label_next_value,
     "w1_anchor_lookback": R.anchor_lookback,
+    "w3_label_offset2": R.label_offset2,
+    "w7_multi_pass": R.multi_pass_coalesce,
+    "orders_by_month": R.orders_by_month,
+    "revenue_rollup": R.revenue_rollup,
+    "format_tons": R.format_tons,
+    "embedding_components": q_embedding_components,
     # text analysis (training-data ops)
     "text_stats": q_text_stats,
     "lang_id_docs": q_lang_id,
@@ -494,7 +510,7 @@ SELECT DISTINCT user_id, event_type FROM events
 SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
 FROM events GROUP BY 1
 """,
-    "props_sum": """
+    "props_sum": r"""
 WITH k AS (
   SELECT user_id,
          CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INTEGER) AS k
@@ -533,6 +549,78 @@ a AS (
 )
 SELECT doc_id, pos AS anchor_pos, CAST(back_pos AS INTEGER) AS back_pos
 FROM a WHERE rn = 1 AND back_pos IS NOT NULL
+""",
+    "w3_label_offset2": f"""
+WITH {_DOC_TOKENS_CTE},
+led AS (
+  SELECT doc_id, pos, word,
+         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS plus2
+  FROM toks
+),
+m AS (
+  SELECT doc_id, plus2,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM led WHERE word = 'group'
+)
+SELECT doc_id, plus2 AS value_at_2 FROM m WHERE rn = 1 AND plus2 IS NOT NULL
+""",
+    "w7_multi_pass": f"""
+WITH {_DOC_TOKENS_CTE},
+led AS (
+  SELECT doc_id, pos, word,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+),
+ah AS (
+  SELECT doc_id, nxt AS after_hash FROM (
+    SELECT doc_id, nxt, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+    FROM led WHERE word = 'hash' AND nxt IS NOT NULL) WHERE rn = 1
+),
+am AS (
+  SELECT doc_id, nxt AS after_merge FROM (
+    SELECT doc_id, nxt, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+    FROM led WHERE word = 'merge' AND nxt IS NOT NULL) WHERE rn = 1
+),
+ft AS (SELECT doc_id, word AS first_word FROM toks WHERE pos = 0)
+SELECT ft.doc_id,
+       coalesce(after_hash, after_merge, first_word) AS found,
+       CASE WHEN after_hash IS NOT NULL THEN 1
+            WHEN after_merge IS NOT NULL THEN 2
+            ELSE 3 END AS pass_no
+FROM ft
+LEFT JOIN ah ON ah.doc_id = ft.doc_id
+LEFT JOIN am ON am.doc_id = ft.doc_id
+""",
+    "orders_by_month": """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1
+""",
+    "revenue_rollup": """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "format_tons": r"""
+WITH k AS (
+  SELECT user_id,
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS k
+  FROM events
+)
+SELECT user_id, printf('%.3f Tons', max(k) / 1000.0) AS tons
+FROM k GROUP BY user_id
+""",
+    "embedding_components": """
+SELECT vec_id,
+       CAST(unnest(range(4)) AS INTEGER) AS pos,
+       round(CAST(unnest(embedding[1:4]) AS DOUBLE), 6) AS c
+FROM embeddings WHERE vec_id < 20
 """,
     "text_stats": f"""
 SELECT doc_id,
