@@ -57,3 +57,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def write_csv_report(df: DataFrame, dest: str, single_file: bool = True) -> None:
+    """CSV report sink (SURVEY S7 — ``docOcrWeb/src/download.jsx:153-286``):
+    quoting/escaping handled by Spark's writer. ``single_file`` mirrors
+    the reference's one-file export via coalesce(1) — only for
+    report-sized extracts; never for table-scale output."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).option("quoteAll", False).csv(dest)
+
+
+class SchemaMismatch(ValueError):
+    pass
+
+
+def validate_input_schema(df: DataFrame, required: dict[str, str]) -> None:
+    """Fail-fast input-shape validation (SURVEY P5 —
+    ``docOcrWeb/src/App.jsx:346-421``'s upload-shape check, rebuilt as
+    a schema assertion). ``required`` maps column → simpleString type."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for col, typ in required.items():
+        if col not in actual:
+            problems.append(f"missing column {col}:{typ}")
+        elif actual[col] != typ:
+            problems.append(f"column {col} is {actual[col]}, expected {typ}")
+    if problems:
+        raise SchemaMismatch("; ".join(problems))
