@@ -80,11 +80,13 @@ class _MainContentParser(HTMLParser):
         super().__init__(convert_charrefs=False)
         self._raw = raw
         # absolute offset of the start of each physical line ('\n'-split,
-        # matching HTMLParser's internal line counting)
+        # matching HTMLParser's internal line counting); str.find keeps
+        # the scan C-side (O(lines) python iterations, not O(chars))
         self._line_starts = [0]
-        for i, ch in enumerate(raw):
-            if ch == "\n":
-                self._line_starts.append(i + 1)
+        pos = raw.find("\n")
+        while pos != -1:
+            self._line_starts.append(pos + 1)
+            pos = raw.find("\n", pos + 1)
         self._skip_depth = 0
         self._boiler_depth = 0
         self._link_depth = 0

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.schema import MANIFEST_SCHEMA, OUTPUT_SCHEMA
+from ocr_spark.sources.io import validate_input_schema
 from ocr_spark.udfs import extract_batch, extract_udf
 
 DEFAULT_SALT_THRESHOLD = 2000  # turns per conv before salting kicks in
@@ -245,7 +246,11 @@ def run_extraction(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
-    src = read_input(spark, input_source).select("conv_id", "turn_idx", "text")
+    src = read_input(spark, input_source)
+    validate_input_schema(
+        src, {"conv_id": "string", "turn_idx": "int", "text": "string"}
+    )
+    src = src.select("conv_id", "turn_idx", "text")
     done, ran = [], []
     for shard in range(n_shards):
         if checkpoint_dir and os.path.exists(_marker_path(checkpoint_dir, shard)):
