@@ -219,6 +219,28 @@ def _make_runner(acc, shard: int):
     return run
 
 
+def _write_manifest_local(rows: list[dict], dest: str) -> None:
+    """Manifest rows live on the driver (accumulator output, ≤1 tiny
+    dict per task) — write them with pyarrow directly instead of
+    spending a Spark job on ~128 rows. Layout matches write_output
+    (parquet dir), so read_manifest is unchanged. On a real cluster
+    with an object-store destination this stays a driver-side put."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dest, exist_ok=True)
+    cols = [f.name for f in MANIFEST_SCHEMA.fields]
+    int_cols = {f.name for f in MANIFEST_SCHEMA.fields if f.dataType.typeName() != "string"}
+    arrays = [
+        pa.array(
+            [r[c] for r in rows],
+            type=pa.int64() if c in int_cols and c not in ("shard", "partition_id") else (pa.int32() if c in ("shard", "partition_id") else pa.string()),
+        )
+        for c in cols
+    ]
+    pq.write_table(pa.table(dict(zip(cols, arrays))), os.path.join(dest, "part-0.parquet"))
+
+
 def _marker_path(checkpoint_dir: str, shard: int) -> str:
     return os.path.join(checkpoint_dir, f"shard-{shard:05d}.done")
 
@@ -266,10 +288,8 @@ def run_extraction(
         acc = spark.sparkContext.accumulator([], _ListAccumulator())
         out = balanced.mapInPandas(_make_runner(acc, shard), OUTPUT_SCHEMA)
         write_output(out, os.path.join(output_dir, f"shard={shard}"))
-        manifest_rows = list(acc.value)
-        manifest = spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA)
-        write_output(
-            manifest, os.path.join(output_dir, "_manifest", f"shard={shard}")
+        _write_manifest_local(
+            list(acc.value), os.path.join(output_dir, "_manifest", f"shard={shard}")
         )
         ran.append(shard)
         # crash window: output written, marker not yet — a resume must
@@ -289,3 +309,46 @@ def read_manifest(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.schema(MANIFEST_SCHEMA).parquet(
         os.path.join(output_dir, "_manifest")
     )
+
+
+def _cli_main(argv: list[str] | None = None) -> None:
+    """spark-submit entry point (SURVEY.md §3.4):
+
+        spark-submit --py-files ocr_spark.zip ocr_spark/job.py \
+            --input <tbl-or-path> --output <tbl-or-path> \
+            --checkpoint <dir> [--shards N] [--partitions P]
+
+    On a cluster the session comes from spark-submit's conf; running
+    under plain `python` falls back to a local session.
+    """
+    import argparse
+    import json
+
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser(description="ocr_spark extraction job")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--shards", type=int, default=1)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--salt-threshold", type=int, default=DEFAULT_SALT_THRESHOLD)
+    ap.add_argument("--n-salts", type=int, default=DEFAULT_N_SALTS)
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("ocr_spark-extract").getOrCreate()
+    summary = run_extraction(
+        spark,
+        args.input,
+        args.output,
+        checkpoint_dir=args.checkpoint,
+        n_shards=args.shards,
+        num_partitions=args.partitions,
+        salt_threshold=args.salt_threshold,
+        n_salts=args.n_salts,
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    _cli_main()

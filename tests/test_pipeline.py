@@ -176,3 +176,49 @@ def test_resume_after_crash_no_duplicates(spark, transcripts_path, oracle, tmp_p
     got = _collect_sorted(spark.read.parquet(out).drop("shard"))
     assert not got.duplicated(["conv_id", "turn_idx"]).any()
     _assert_equal(got, oracle)
+
+
+def test_spark_submit_cli(transcripts_path, tmp_path):
+    """The north rule's launch path: spark-submit --py-files zip."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__import__("ocr_spark").__file__))
+    zip_path = str(tmp_path / "ocr_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.join("ocr_spark", os.path.relpath(full, pkg_dir)))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    submit = shutil.which("spark-submit") or os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
+    r = subprocess.run(
+        [
+            submit,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(pkg_dir, "job.py"),
+            "--input", transcripts_path,
+            "--output", out,
+            "--checkpoint", ckpt,
+            "--shards", "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["shards_run"] == [0, 1]
+    assert os.path.exists(os.path.join(ckpt, "shard-00000.done"))
