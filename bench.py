@@ -233,7 +233,7 @@ Same job (`ocr_spark.job.run_extraction`: read → skew-salted
 repartition → Arrow-batch extraction → parquet output + lineage
 manifest), same sf{sf} synthetic transcripts input ({l4["n_turns"]}
 turns), 64 fixed partitions. Each run is a fresh JVM subprocess
-(cold run discarded); local[4]/local[16] runs are interleaved across
+(cold run discarded); local[2]/local[8] runs are interleaved across
 rounds so ambient sandbox load hits both levels alike; throughput
 uses the best warm wall per level.
 
