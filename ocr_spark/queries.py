@@ -513,7 +513,7 @@ FROM events GROUP BY 1
     "props_sum": r"""
 WITH k AS (
   SELECT user_id,
-         CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INTEGER) AS k
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INTEGER) AS k
   FROM events
 )
 SELECT user_id, CAST(sum(k) AS BIGINT) AS k_sum, count(k) AS k_n
