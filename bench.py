@@ -71,6 +71,13 @@ def run_headline(sf_dir: str, cpus: str) -> dict[str, float]:
     from ocr_spark.queries import SPARK_QUERIES
 
     spark = build_session("bench", master=f"local[{cpus}]")
+    # warmup: absorb JVM/codegen/python-worker cold costs outside the
+    # timed loop (one tiny UDF pass + one scan)
+    from ocr_spark.queries import transcripts_fixture_path as _tfp
+    from ocr_spark.job import ensure_package_shipped, extract_transcripts as _et
+
+    ensure_package_shipped(spark)
+    _materialize(_et(spark.read.parquet(_tfp(0.001))))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()
@@ -87,11 +94,7 @@ def extraction_worker(master: str, input_path: str, out_path: str) -> None:
     from ocr_spark.job import run_extraction
     from ocr_spark.plans.session import build_session
 
-    spark = build_session(
-        f"bench-{master}",
-        master=master,
-        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
-    )
+    spark = build_session(f"bench-{master}", master=master)
     n_turns = spark.read.parquet(input_path).count()
     walls = []
     for _run in range(2):  # cold (JIT, worker spawn) + 1 warm

@@ -253,5 +253,12 @@ def write_transcripts(path: str, sf: float, seed: int = 42) -> str:
             ("ts", pa.timestamp("us")),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
+    # bounded row groups: a single-row-group file is unsplittable for
+    # Spark scans (row groups are the parallelism quantum), which would
+    # serialize the whole extraction stage on one task
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+        path,
+        row_group_size=2000,
+    )
     return path

@@ -16,10 +16,11 @@ Scale design (the 100 TB story):
 - **n-gram Jaccard**: inverted-index self-join on shingle — standard,
   but unbounded posting lists on hot shingles. Kept as the *exact*
   verifier; at scale the candidate generator must be LSH, not this.
-- **MinHash+LSH**: signatures are k min-aggregates in ONE pass over
-  the exploded shingles (one shuffle by doc); banding turns pair
-  discovery into an equi-join on (band, band_hash) — shuffle is
-  O(docs × bands), never O(docs²). Hot buckets are bounded by
+- **MinHash+LSH**: signatures are a shuffle-FREE projection
+  (array_min over transform of the shingle array — pipelines with the
+  scan); banding turns pair discovery into an equi-join on
+  (band, band_hash) — shuffle is O(docs × bands), never O(docs²);
+  verification is per-pair array_intersect. Hot buckets are bounded by
   ``max_bucket`` (skew guard: a bucket with B docs yields B² pairs).
 - **SimHash**: 64-bit signature from per-bit majority vote over token
   hashes; near-dup = equal signature (or equal band for Hamming<k).
@@ -100,6 +101,16 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh_arr, n_sh): distinct shingles as an array column."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh_arr"),
+    ).withColumn("n_sh", F.size("sh_arr"))
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -107,16 +118,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """k-column MinHash signature: sig_i = min(md5('s<i>|' || shingle)).
+    """k-column MinHash signature computed as a pure projection:
+    sig_i = array_min(transform(shingles, x -> md5('s<i>|' || x))).
 
-    One pass over exploded shingles, k min-aggregates (map-side
-    combined), one shuffle keyed by doc."""
-    sh = exploded_shingles(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"sig{i}")
+    ZERO shuffles — the signature stage is map-only JVM expression
+    work, so it pipelines with the scan at any scale (the exploded
+    groupBy formulation costs a full shuffle of the shingle stream)."""
+    arr = shingle_arrays(df, text_col, id_col, n)
+    cols = [
+        F.array_min(
+            F.transform(F.col("sh_arr"), lambda x, i=i: F.md5(F.concat(F.lit(f"s{i}|"), x)))
+        ).alias(f"sig{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return arr.select("id", *cols)
 
 
 def lsh_candidate_pairs(
@@ -169,21 +184,31 @@ def minhash_lsh_dedup(
 
     Output (id_a, id_b, jaccard) — same shape as ``ngram_jaccard_pairs``
     but with LSH-bounded candidate generation (the scale path)."""
-    sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
+    # cache boundary: without it Catalyst's projection collapse
+    # inlines the shingle-array expression into every signature column
+    # (8× recompute per row) and again into the verify join
+    arr = shingle_arrays(df, text_col, id_col, n).persist()
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("sh_arr"), lambda x, i=i: F.md5(F.concat(F.lit(f"s{i}|"), x)))
+        ).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    sig = arr.select("id", *sig_cols)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
-    sh = exploded_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # count common shingles for candidate pairs only (join-pruned)
-    common = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .filter(F.col("sh") == F.col("sh_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # exact verify via per-pair array_intersect: two equi-joins to
+    # attach each side's shingle array, O(|A|+|B|) intersect per pair
+    # — no exploded shingle-stream shuffle
+    a = arr.select(
+        F.col("id").alias("id_a"), F.col("sh_arr").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    b = arr.select(
+        F.col("id").alias("id_b"), F.col("sh_arr").alias("sh_b"), F.col("n_sh").alias("n_b")
     )
     return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),

@@ -41,6 +41,12 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # sandbox inputs are single ~10-100 MB files; split at 2 MB
+        # (and don't let openCost re-merge the splits) so scans use all
+        # cores. On a cluster the input is many 100 MB+ files and these
+        # two are deployment-tuned back up (128m/4m defaults).
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

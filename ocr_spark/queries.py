@@ -301,7 +301,8 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, max_bucket: int = 64,
                  threshold: float = 0.5) -> str:
     r = num_hashes // bands
     sig_cols = ", ".join(
-        f"min(md5('s{i}|' || sh)) AS sig{i}" for i in range(num_hashes)
+        f"list_min(list_transform(sh_arr, x -> md5('s{i}|' || x))) AS sig{i}"
+        for i in range(num_hashes)
     )
     band_rows = " UNION ALL ".join(
         "SELECT id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
@@ -311,8 +312,16 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4, max_bucket: int = 64,
         for b in range(bands)
     )
     return f"""
-WITH {_SHINGLE_CTE},
-sig AS (SELECT id, {sig_cols} FROM sh GROUP BY id),
+WITH arr AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(len({_TOKS}) - 2),
+           i -> {_TOKS}[i+1] || ' ' || {_TOKS}[i+2] || ' ' || {_TOKS}[i+3]
+         )) AS sh_arr
+  FROM documents
+),
+sized AS (SELECT id, sh_arr, len(sh_arr) AS n_sh FROM arr),
+sig AS (SELECT id, {sig_cols} FROM arr),
 buckets AS ({band_rows}),
 counts AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY 1, 2),
 bounded AS (
@@ -324,13 +333,18 @@ cand AS (
   FROM bounded a JOIN bounded b USING (band, bucket)
   WHERE a.id < b.id
 ),
-hits AS (
-  SELECT c.id_a, c.id_b
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.sh_arr, sb.sh_arr)) AS common,
+         sa.n_sh AS n_a, sb.n_sh AS n_b
   FROM cand c
-  JOIN sh a ON a.id = c.id_a
-  JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
-),
-{_jaccard_select("hits", threshold)}
+  JOIN sized sa ON sa.id = c.id_a
+  JOIN sized sb ON sb.id = c.id_b
+)
+SELECT id_a, id_b,
+       round(common / (n_a + n_b - common), 6) AS jaccard
+FROM verified
+WHERE round(common / (n_a + n_b - common), 6) >= {threshold}
 """
 
 
