@@ -206,6 +206,14 @@ def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level transaction pivot (J3/A8) over transcripts."""
+    from ocr_spark.operators.conversation import conv_rollup
+
+    df = spark.read.parquet(transcripts_fixture_path(_sf_of(sf_dir)))
+    return conv_rollup(df)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.job import ensure_package_shipped
 
@@ -255,6 +263,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_meta": q_media_meta,
     # extraction engine (rows-only; exact-equality gate lives in tests/)
     "extract_transcripts": q_extract_transcripts,
+    "conv_rollup": q_conv_rollup,
     "extract_documents": q_extract_documents,
     "multimodal_features": q_multimodal_features,
 }

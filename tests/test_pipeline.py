@@ -222,3 +222,15 @@ def test_spark_submit_cli(transcripts_path, tmp_path):
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["shards_run"] == [0, 1]
     assert os.path.exists(os.path.join(ckpt, "shard-00000.done"))
+
+
+def test_conv_rollup_native_equals_grouped(spark, transcripts_path):
+    from ocr_spark.job import ensure_package_shipped
+    from ocr_spark.operators.conversation import conv_rollup, conv_rollup_grouped
+
+    ensure_package_shipped(spark)
+    df = spark.read.parquet(transcripts_path)
+    a = {r["conv_id"]: tuple(r)[1:] for r in conv_rollup(df).collect()}
+    b = {r["conv_id"]: tuple(r)[1:] for r in conv_rollup_grouped(df).collect()}
+    assert a == b
+    assert len(a) == df.select("conv_id").distinct().count()
