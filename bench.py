@@ -95,9 +95,15 @@ def extraction_worker(master: str, input_path: str, out_path: str) -> None:
     from ocr_spark.plans.session import build_session
 
     spark = build_session(f"bench-{master}", master=master)
-    n_turns = spark.read.parquet(input_path).count()
+    full = spark.read.parquet(input_path)
+    n_turns = full.count()
+    # cheap warmup: spawn python workers + JIT on a small slice rather
+    # than burning a full-length discarded run
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    full.limit(2000).write.mode("overwrite").parquet(warm_dir + "/slice")
+    run_extraction(spark, warm_dir + "/slice", warm_dir + "/out", num_partitions=8)
     walls = []
-    for _run in range(2):  # cold (JIT, worker spawn) + 1 warm
+    for _run in range(1):  # single timed run per fresh JVM
         out_dir = tempfile.mkdtemp(prefix=f"bench_out_{master.replace('[', '_').replace(']', '')}_")
         t0 = time.monotonic()
         run_extraction(
@@ -110,8 +116,7 @@ def extraction_worker(master: str, input_path: str, out_path: str) -> None:
         )
         walls.append(round(time.monotonic() - t0, 3))
     result = {
-        "cold_wall_sec": walls[0],
-        "warm_wall_sec": walls[1],
+        "warm_wall_sec": walls[0],
         "n_turns": n_turns,
     }
     spark.stop()
