@@ -86,3 +86,27 @@ def test_extraction_job_exchange_count(spark, transcripts_path):
     # the single row-path repartition exchange
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BroadcastHashJoin" in plan  # heavy-hitter list is broadcast
+
+
+def test_partitioned_output_prunes(spark, transcripts_path, tmp_path):
+    """Output partitioned by kind → a kind-filtered read scans only
+    that partition (PartitionFilters at the source, not a post-filter).
+    """
+    from ocr_spark.job import ensure_package_shipped, extract_transcripts
+
+    ensure_package_shipped(spark)
+    out = str(tmp_path / "by_kind")
+    (
+        extract_transcripts(spark.read.parquet(transcripts_path))
+        .write.mode("overwrite")
+        .partitionBy("kind")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter("kind = 'html'")
+    plan = physical_plan(back)
+    assert "PartitionFilters: [isnotnull(kind" in plan and "kind#" in plan
+    import os
+
+    kinds = [d for d in os.listdir(out) if d.startswith("kind=")]
+    assert len(kinds) >= 2  # actually partitioned on disk
+    assert back.count() > 0
