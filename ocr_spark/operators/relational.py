@@ -54,6 +54,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped join+agg+topk: customer filter broadcast into
     orders⋈lineitem; revenue decimal-exact; top 10 deterministic."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -140,6 +141,7 @@ def argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 max-over-dates per user; timestamp out as string."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
@@ -299,6 +301,7 @@ def multi_pass_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/F11 date ops: month bucketing + decimal-exact totals."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))

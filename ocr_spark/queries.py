@@ -141,6 +141,7 @@ def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
