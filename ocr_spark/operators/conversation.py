@@ -82,3 +82,33 @@ def conv_rollup_grouped(transcripts: DataFrame) -> DataFrame:
         .groupBy("conv_id")
         .applyInPandas(roll, ROLLUP_SCHEMA)
     )
+
+
+def first_by_turn(col_name: str):
+    """First non-null value in turn order, as a deterministic aggregate
+    (A8 'first wins', download.jsx:184-264 — the reference depends on
+    arrival order; min-of-struct makes it order-independent)."""
+    c = F.col(col_name)
+    return F.min(
+        F.when(c.isNotNull(), F.struct(F.col("turn_idx").alias("t"), c.alias("v")))
+    )["v"].alias(col_name)
+
+
+def transaction_pivot(fields_df: DataFrame) -> DataFrame:
+    """Per-conversation wide row from per-turn document fields: the
+    reference's transaction pivot (one 53-column row per subfolder,
+    download.jsx:158-264) over transcripts. Each field takes its first
+    non-null value in turn order; doc counts by category ride along
+    (A6 weighbridgeCount analogue)."""
+    from ocr_spark.core.fields import FIELD_NAMES
+
+    value_fields = [f for f in FIELD_NAMES if f != "category"]
+    aggs = [F.count(F.lit(1)).cast("int").alias("n_docs")]
+    aggs.append(
+        F.sum(F.when(F.col("category") == "Weighbridge", 1).otherwise(0))
+        .cast("int")
+        .alias("n_weighbridge")
+    )
+    aggs.append(first_by_turn("category"))
+    aggs.extend(first_by_turn(f) for f in value_fields)
+    return fields_df.groupBy("conv_id").agg(*aggs)

@@ -207,6 +207,27 @@ def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference parity surface: per-turn document fields over the
+    pdf_like turns (classify cascade + W/F-heuristics, core/fields.py)."""
+    from ocr_spark.job import ensure_package_shipped, extract_transcripts
+    from ocr_spark.udfs import fields_udf
+
+    ensure_package_shipped(spark)
+    df = spark.read.parquet(transcripts_fixture_path(_sf_of(sf_dir)))
+    ext = extract_transcripts(df).filter(F.col("kind") == "pdf_like")
+    return ext.select(
+        "conv_id", "turn_idx", fields_udf(F.col("extracted_text")).alias("f")
+    ).select("conv_id", "turn_idx", "f.*")
+
+
+def q_transaction_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level wide row of first-wins fields (A8 pivot)."""
+    from ocr_spark.operators.conversation import transaction_pivot
+
+    return transaction_pivot(q_extract_fields(spark, sf_dir))
+
+
 def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level transaction pivot (J3/A8) over transcripts."""
     from ocr_spark.operators.conversation import conv_rollup
@@ -265,6 +286,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # extraction engine (rows-only; exact-equality gate lives in tests/)
     "extract_transcripts": q_extract_transcripts,
     "conv_rollup": q_conv_rollup,
+    "extract_fields": q_extract_fields,
+    "transaction_pivot": q_transaction_pivot,
     "extract_documents": q_extract_documents,
     "multimodal_features": q_multimodal_features,
 }

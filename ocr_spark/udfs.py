@@ -49,3 +49,30 @@ def extract_batch(text: pd.Series) -> pd.DataFrame:
 def extract_udf(text: pd.Series) -> pd.DataFrame:
     """Scalar Arrow UDF: text → extraction struct."""
     return extract_batch(text)
+
+
+def fields_batch(text: pd.Series) -> pd.DataFrame:
+    """Document-field extraction over one Arrow batch (reconstructed
+    pdf_like text → fixed field struct; core/fields.py)."""
+    from ocr_spark.core.fields import FIELD_NAMES, extract_fields
+
+    results = [extract_fields(t or "") for t in text]
+    return pd.DataFrame(
+        {name: pd.Series([getattr(r, name) for r in results], dtype="object")
+         for name in FIELD_NAMES},
+        index=text.index,
+    )
+
+
+def _fields_struct_type():
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ocr_spark.core.fields import FIELD_NAMES
+
+    return StructType([StructField(n, StringType()) for n in FIELD_NAMES])
+
+
+@pandas_udf(_fields_struct_type())
+def fields_udf(text: pd.Series) -> pd.DataFrame:
+    """Scalar Arrow UDF: reconstructed text → document fields."""
+    return fields_batch(text)

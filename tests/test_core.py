@@ -211,3 +211,77 @@ def test_extract_turn_metrics():
     assert r.kind == "html"
     assert r.bytes_in == len(HTML_DOC.encode("utf-8"))
     assert r.blocks_kept == len(r.spans) == 2
+
+
+def test_field_extraction_known_document():
+    from ocr_spark.core.fields import extract_fields
+    from ocr_spark.core.pdf_layout import extract_pdf_like
+
+    raw = "\n".join([
+        "DELIVERY CHALLAN",
+        "Nagpur Transport Co.",
+        "482913",
+        "DATE: 5/3/2024",
+        "",
+        "Consignor",
+        "Acme Industries",
+        "Consignee",
+        "Zenith Traders",
+        "From",
+        "Mumbai",
+        "(Maharashtra)",
+        "To",
+        "Jaipur",
+        "(Rajasthan)",
+        "",
+        "Invoice No.",
+        "dated 12-Jan-24",   # decoy (W4 skip)
+        "INV-7731",
+        "Quantity",
+        "12,500.250",
+        "KGS",
+        "VEHICLE NO",
+        ": MH12AB 1234",
+        "net",
+        "weight",
+        "18210",
+        "",
+        "SR NO  DESCRIPTION  QTY",
+        "1  PLASTIC SCRAP- RIGID  4.200",
+        "2  PLASTIC SCRAP- FLEXIBLE  5.300",
+        "TOTAL  9.500 MT",
+    ])
+    text, *_ = extract_pdf_like(raw)
+    f = extract_fields(text)
+    assert f.category == "Delivery Challan"
+    assert f.vehicle_no == "MH12AB1234"
+    assert f.doc_date == "2024-03-05"
+    assert f.invoice_no == "INV-7731"
+    assert f.consignor == "Acme Industries"
+    assert f.consignee == "Zenith Traders"
+    assert f.from_city == "Mumbai" and f.from_state == "Maharashtra"
+    assert f.to_city == "Jaipur" and f.to_state == "Rajasthan"
+    assert f.quantity == "12,500.250 KGS"
+    assert f.net_weight == "18210"
+    assert f.total_qty == "9.500"
+
+
+def test_field_extraction_rates_on_fixtures():
+    import random
+
+    from ocr_spark.core.fields import extract_fields
+    from ocr_spark.core.pdf_layout import extract_pdf_like
+    from ocr_spark.fixtures import _gen_pdf_like
+
+    rng = random.Random(11)
+    n = 150
+    hits = {k: 0 for k in ("vehicle_no", "doc_date", "invoice_no", "consignor", "quantity")}
+    for _ in range(n):
+        text, *_ = extract_pdf_like(_gen_pdf_like(rng))
+        f = extract_fields(text)
+        assert f.category != "Unknown"
+        for k in hits:
+            if getattr(f, k) is not None:
+                hits[k] += 1
+    for k, v in hits.items():
+        assert v / n >= 0.95, (k, v / n)

@@ -234,3 +234,40 @@ def test_conv_rollup_native_equals_grouped(spark, transcripts_path):
     b = {r["conv_id"]: tuple(r)[1:] for r in conv_rollup_grouped(df).collect()}
     assert a == b
     assert len(a) == df.select("conv_id").distinct().count()
+
+
+def test_fields_udf_and_transaction_pivot(spark, transcripts_path):
+    from ocr_spark.core.fields import extract_fields
+    from ocr_spark.job import ensure_package_shipped, extract_transcripts
+    from ocr_spark.operators.conversation import transaction_pivot
+    from ocr_spark.udfs import fields_udf
+    from pyspark.sql import functions as F
+
+    ensure_package_shipped(spark)
+    ext = extract_transcripts(spark.read.parquet(transcripts_path)).filter(
+        F.col("kind") == "pdf_like"
+    )
+    fdf = ext.select(
+        "conv_id", "turn_idx", "extracted_text",
+        fields_udf(F.col("extracted_text")).alias("f"),
+    )
+    rows = fdf.limit(200).collect()
+    assert rows
+    for r in rows:  # UDF ≡ pure function on every row
+        expect = extract_fields(r["extracted_text"])
+        assert tuple(r["f"]) == tuple(expect)
+
+    piv = transaction_pivot(
+        fdf.select("conv_id", "turn_idx", "f.*")
+    )
+    got = {r["conv_id"]: r for r in piv.collect()}
+    assert got
+    # first-wins semantics check on one conversation via pandas
+    import pandas as pd
+
+    pdf = fdf.select("conv_id", "turn_idx", "f.*").toPandas()
+    conv = pdf["conv_id"].iloc[0]
+    sub = pdf[pdf["conv_id"] == conv].sort_values("turn_idx")
+    first_vehicle = sub["vehicle_no"].dropna().iloc[0] if sub["vehicle_no"].notna().any() else None
+    assert got[conv]["vehicle_no"] == first_vehicle
+    assert got[conv]["n_docs"] == len(sub)
