@@ -56,3 +56,20 @@ def test_plain_idempotent(raw):
 @given(_text)
 def test_extract_deterministic(raw):
     assert extract_turn(raw) == extract_turn(raw)
+
+
+@given(st.text(max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_fields_total_and_deterministic(raw):
+    """extract_fields never raises, returns the fixed schema, and is
+    deterministic on arbitrary input."""
+    from ocr_spark.core.fields import FIELD_NAMES, extract_fields
+
+    f1 = extract_fields(raw)
+    f2 = extract_fields(raw)
+    assert f1 == f2
+    assert tuple(f1._fields) == FIELD_NAMES
+    assert f1.category in (
+        "E Way Bill", "Delivery Challan", "LR Copy",
+        "Weighbridge", "Tax Invoice", "Unknown",
+    )
