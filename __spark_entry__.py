@@ -33,9 +33,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query.
     Keys absent here (extract_transcripts, extract_documents,
+    extract_fields, transaction_pivot, conv_rollup,
     multimodal_features) are non-SQL-expressible pipelines — the
-    driver records a rows-only check; their exact-equality gate is
-    tests/test_pipeline.py vs the pure-Python reference oracle.
+    driver records a rows-only check; their exact-equality gates are
+    tests/test_pipeline.py (pure-Python oracle equality,
+    native-vs-grouped rollup identity, fields ground truth) and
+    tests/test_core.py.
     """
     from ocr_spark.queries import ORACLE_SQL
 

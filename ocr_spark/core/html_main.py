@@ -180,7 +180,13 @@ class _MainContentParser(HTMLParser):
             end += 1
         try:
             cp = int(name[1:], 16) if name[0] in "xX" else int(name)
-            decoded = chr(cp) if 0 < cp <= 0x10FFFF else ""
+            # exclude the surrogate range: chr(0xD800-0xDFFF) would
+            # produce a str that crashes utf-8 encoding downstream
+            # (violating extract_turn's never-raises contract)
+            if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                decoded = chr(cp)
+            else:
+                decoded = ""
         except ValueError:
             decoded = ""
         self._add_chunk(start, end, decoded)

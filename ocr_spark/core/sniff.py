@@ -24,7 +24,7 @@ _HTML_TAG_RE = re.compile(
     r"(?is)<\s*(?:!doctype\b|!--|/?(?:html|head|body|title|meta|link|script"
     r"|style|div|p|a|span|table|thead|tbody|tr|td|th|ul|ol|li|h[1-6]|br"
     r"|hr|img|article|section|nav|header|footer|aside|main|pre"
-    r"|blockquote|em|strong|b|i|form|input|button)\b[^<]*?>?)"
+    r"|blockquote|em|strong|b|i|form|input|button)\b[^<]*?>)"
 )
 
 # pdf_like layout signals (mirrors the document structures the

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.schema import MANIFEST_SCHEMA, OUTPUT_SCHEMA
-from ocr_spark.sources.io import validate_input_schema
+from ocr_spark.sources.io import read_input, validate_input_schema, write_output
 from ocr_spark.udfs import extract_batch, extract_udf
 
 DEFAULT_SALT_THRESHOLD = 2000  # turns per conv before salting kicks in
@@ -92,27 +92,6 @@ def ensure_package_shipped(spark: SparkSession) -> None:
                     zf.write(full, rel)
     sc.addPyFile(zip_path)
     sc._ocr_spark_shipped = True
-
-
-# --------------------------------------------------------------------------
-# IO (Iceberg when available, parquet fallback — SURVEY.md §7 step 5)
-# --------------------------------------------------------------------------
-
-def read_input(spark: SparkSession, source: str) -> DataFrame:
-    """Read the transcripts table. A path reads as parquet; a dotted
-    identifier without '/' reads as an Iceberg table (needs the runtime
-    JAR + catalog, absent in this sandbox — the interface is the same).
-    """
-    if "/" not in source and not source.endswith(".parquet"):
-        return spark.read.format("iceberg").load(source)
-    return spark.read.parquet(source)
-
-
-def write_output(df: DataFrame, dest: str, mode: str = "overwrite") -> None:
-    if "/" not in dest:
-        df.writeTo(dest).createOrReplace()
-    else:
-        df.write.mode(mode).parquet(dest)
 
 
 # --------------------------------------------------------------------------
@@ -173,6 +152,7 @@ def _make_runner(acc, shard: int):
     def run(batches):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
+        attempt = ctx.attemptNumber() if ctx is not None else 0
         t0 = time.monotonic()
         n_turns = 0
         convs: set[str] = set()
@@ -204,6 +184,7 @@ def _make_runner(acc, shard: int):
                     {
                         "shard": shard,
                         "partition_id": pid,
+                        "attempt": attempt,
                         "n_turns": n_turns,
                         "n_convs": len(convs),
                         "blocks_kept": kept,
@@ -234,7 +215,11 @@ def _write_manifest_local(rows: list[dict], dest: str) -> None:
     arrays = [
         pa.array(
             [r[c] for r in rows],
-            type=pa.int64() if c in int_cols and c not in ("shard", "partition_id") else (pa.int32() if c in ("shard", "partition_id") else pa.string()),
+            type=pa.int64()
+            if c in int_cols and c not in ("shard", "partition_id", "attempt")
+            else (
+                pa.int32() if c in ("shard", "partition_id", "attempt") else pa.string()
+            ),
         )
         for c in cols
     ]
@@ -305,9 +290,31 @@ def run_extraction(
     return {"shards_run": ran, "shards_skipped": done, "n_shards": n_shards}
 
 
-def read_manifest(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.schema(MANIFEST_SCHEMA).parquet(
+def read_manifest(
+    spark: SparkSession, output_dir: str, dedupe: bool = True
+) -> DataFrame:
+    """Lineage manifest. Accumulator updates from transformations are
+    NOT deduped by Spark across task retries/speculation, so a
+    transient failure leaves a partial 'failed:*' row next to the
+    retry's 'ok' row. ``dedupe=True`` (default) keeps one row per
+    (shard, partition_id) — preferring ok status, then the highest
+    attempt — which restores sum-able metrics; ``dedupe=False``
+    returns the raw attempt log (every row, for failure forensics)."""
+    raw = spark.read.schema(MANIFEST_SCHEMA).parquet(
         os.path.join(output_dir, "_manifest")
+    )
+    if not dedupe:
+        return raw
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard", "partition_id").orderBy(
+        F.when(F.col("status") == "ok", 0).otherwise(1).asc(),
+        F.col("attempt").desc(),
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -41,6 +41,19 @@ from ocr_spark.functions.text import fingerprint, word_shingles
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
 
+_shingle_cache: list[DataFrame] = []  # at most one entry (see swap)
+
+
+def _swap_shingle_cache(arr: DataFrame) -> DataFrame:
+    """Persist ``arr``, releasing the previous call's cached table."""
+    from pyspark import StorageLevel
+
+    while _shingle_cache:
+        _shingle_cache.pop().unpersist(blocking=False)
+    arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
+    _shingle_cache.append(arr)
+    return arr
+
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by normalized-text fingerprint.
@@ -186,8 +199,11 @@ def minhash_lsh_dedup(
     but with LSH-bounded candidate generation (the scale path)."""
     # cache boundary: without it Catalyst's projection collapse
     # inlines the shingle-array expression into every signature column
-    # (8× recompute per row) and again into the verify join
-    arr = shingle_arrays(df, text_col, id_col, n).persist()
+    # (8× recompute per row) and again into each side of the verify
+    # join. The cache is swapped per call (previous call's table is
+    # unpersisted) so repeated invocations pin at most ONE shingle
+    # table in (evictable MEMORY_AND_DISK) storage.
+    arr = _swap_shingle_cache(shingle_arrays(df, text_col, id_col, n))
     sig_cols = [
         F.array_min(
             F.transform(F.col("sh_arr"), lambda x, i=i: F.md5(F.concat(F.lit(f"s{i}|"), x)))

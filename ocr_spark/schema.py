@@ -56,6 +56,7 @@ MANIFEST_SCHEMA = StructType(
     [
         StructField("shard", IntegerType()),
         StructField("partition_id", IntegerType()),
+        StructField("attempt", IntegerType()),
         StructField("n_turns", LongType()),
         StructField("n_convs", LongType()),
         StructField("blocks_kept", LongType()),

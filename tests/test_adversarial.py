@@ -27,7 +27,7 @@ CASES = {
     "cjk": "这是 一段 中文 文本 用于 测试 提取 流程 的 稳定性",
     "huge_pdfish": "\n".join(f"LINE {i}: value {i}" for i in range(50_000)),
     "control_chars": "".join(chr(c) for c in range(1, 32)) + " plus normal words",
-    "surrogateish": "ok \ud800 lone surrogate" if False else "ok words here filler",
+    "surrogate_charref": "<p>hello world content &#xD800; &#55296; more words</p>",
     "nested_table": "<table>" + "<tr><td>cell words here</td></tr>" * 500 + "</table>",
 }
 
