@@ -123,3 +123,25 @@ def word_shingles(c: Column, n: int = 3) -> Column:
         return F.concat_ws(" ", *parts)
 
     return F.array_distinct(F.transform(idx, shingle))
+
+
+# BPE-ish subword-count estimator: words + standalone punctuation,
+# long words counted once per 4 chars (public rule-of-thumb for BPE
+# vocab token inflation). SQL twin mirrors the same two regexp counts.
+_BPE_WORD_RE = r"[A-Za-z0-9]+"
+_BPE_PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def token_estimate(c: Column) -> Column:
+    """Estimated subword-token count: one per word-chunk of ≤4 chars
+    (ceil(len/4) per word via total-chars/4 bound) plus punctuation.
+    Deterministic integer arithmetic — engine-portable."""
+    n_words = F.regexp_count(c, F.lit(_BPE_WORD_RE))
+    word_chars = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", ""))
+    n_punct = F.regexp_count(c, F.lit(_BPE_PUNCT_RE))
+    # each word costs at least 1 token; chars beyond 4 per word add
+    # ceil(extra/4): (word_chars - 4*n_words) clamped at 0
+    extra = F.greatest(word_chars - n_words * 4, F.lit(0))
+    return (n_words + F.floor((extra + 3) / 4).cast("int") + n_punct).alias(
+        "token_estimate"
+    )

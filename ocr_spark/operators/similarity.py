@@ -183,3 +183,69 @@ def label_centroid_count(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
         )
         .withColumn("centroid_c0", F.round(F.col("centroid_c0"), 6))
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means cells + probe the
+    ``n_probe`` nearest cells per query, exact cosine inside them.
+
+    Scale path: the corpus is scanned once to assign cells (model
+    broadcast by MLlib); per query only ~n_probe/n_cells of the corpus
+    is ranked — the candidate join is an equi-join on cell id, so
+    shuffle is bounded by candidate volume, never O(Q×N). Centroids
+    (n_cells × dim floats) live on the driver: metadata-sized at any
+    corpus scale. Deterministic for a fixed seed and input.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    vecs = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(k=n_cells, seed=42, featuresCol="features", predictionCol="cell").fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+
+    # query → n_probe nearest cells (driver-side centroid math; tiny)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    spark = emb.sparkSession
+    cent_rows = [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    q_cell_dist = queries.crossJoin(F.broadcast(cent_df)).withColumn(
+        "dist",
+        F.expr(
+            " + ".join(
+                f"pow(CAST(q_emb[{i}] AS DOUBLE) - centroid[{i}], 2)" for i in range(dim)
+            )
+        ),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+    probed = (
+        q_cell_dist.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "q_emb", "cell")
+    )
+
+    cand = probed.join(assigned, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.withColumn(
+        "sim",
+        F.round(
+            dot_expr("q_emb", "embedding", dim)
+            / (norm_expr("q_emb", dim) * norm_expr("embedding", dim)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", "rank")
+    )

@@ -42,6 +42,7 @@ from ocr_spark.functions.text import (
     lang_id,
     quality_score,
     token_count,
+    token_estimate,
 )
 from ocr_spark.operators import relational as R
 from ocr_spark.operators import similarity as S
@@ -74,6 +75,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
         char_count(F.col("text")).alias("n_chars_actual"),
     )
+
+
+def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", token_estimate(F.col("text")).alias("n_bpe_tokens"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +123,13 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_lsh(_emb(spark, sf_dir), threshold=0.3, bits=4)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (k-means cells + probing);
+    rows-only (MLlib clustering isn't SQL-expressible) — recall vs the
+    brute-force oracle is asserted in tests/test_similarity.py."""
+    return S.ivf_topk(_emb(spark, sf_dir), n_queries=10, k=3, n_probe=6)
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +281,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_components": q_embedding_components,
     # text analysis (training-data ops)
     "text_stats": q_text_stats,
+    "token_estimate": q_token_estimate,
     "lang_id_docs": q_lang_id,
     "quality_score_docs": q_quality,
     "fingerprint_docs": q_fingerprint,
@@ -281,6 +295,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_emb_neardup,
     "embedding_neardup_lsh": q_emb_neardup_lsh,
     "label_centroids": q_label_centroids,
+    "ivf_topk": q_ivf_topk,
     # multimodal
     "media_meta": q_media_meta,
     # extraction engine (rows-only; exact-equality gate lives in tests/)
@@ -674,6 +689,19 @@ SELECT doc_id,
   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
   CAST(length(text) AS INTEGER) AS n_chars_actual
 FROM documents
+""",
+    "token_estimate": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS INTEGER) AS word_chars,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words + CAST(floor((greatest(word_chars - n_words * 4, 0) + 3) / 4) AS INTEGER)
+            + n_punct AS INTEGER) AS n_bpe_tokens
+FROM t
 """,
     "lang_id_docs": _lang_id_sql(),
     "quality_score_docs": _quality_sql(),
