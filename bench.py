@@ -314,6 +314,9 @@ def main() -> None:
         payload["extraction"] = scaling
         payload["turns_per_sec"] = scaling["local32"]["turns_per_sec"]
         payload["scaling_efficiency"] = scaling["scaling_efficiency"]
+        payload["scaling_efficiency_vs_envelope"] = scaling[
+            "scaling_efficiency_vs_envelope"
+        ]
         write_bench_md(sf, scaling)
     print(json.dumps(payload))
 
