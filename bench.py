@@ -2,20 +2,20 @@
 
 Times the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, runs the
-extraction job at N vs 4N parallelism (local[4] vs local[16] — the
+extraction job at N vs 4N parallelism (local[2] vs local[8] — the
 sandbox stand-in for N vs 4N executor clusters, see the pairing note
 in BENCH.md — plus local[32] for peak), and prints ONE JSON line:
 
   {"metric": ..., "value": <total headline sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "extraction": {"local4": {...}, "local16": {...}, "local32": {...},
+   "extraction": {"local2": {...}, "local8": {...}, "local32": {...},
                    "scaling_efficiency": ...}}
 
 Also rewrites BENCH.md with the scaling table (the BASELINE ≥0.8
 criterion evidence).
 
 Usage: python bench.py            # full bench (one JSON line on stdout)
-       python bench.py --extraction-worker --master local[4] \
+       python bench.py --extraction-worker --master local[2] \
            --input T.parquet --out R.json   # internal subprocess mode
 """
 
@@ -182,7 +182,7 @@ def _burn(n: int) -> int:
 
 def run_scaling(input_path: str) -> dict:
     """Same job, same input, N vs 4N parallelism levels, each run in a
-    clean subprocess JVM. Runs are interleaved local[4]/local[16] per
+    clean subprocess JVM. Runs are interleaved local[2]/local[8] per
     round so ambient load (noisy-neighbor / cpu-credit throttling on
     this sandbox) hits both levels alike; throughput is from the best
     warm wall per level."""

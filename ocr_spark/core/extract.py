@@ -47,6 +47,14 @@ def extract_turn(raw: str | None) -> ExtractResult:
     doc' rule, SURVEY.md §4)."""
     if raw is None or raw == "":
         return ExtractResult("plain", "", [], 0, 0, 0, 0)
+    try:
+        bytes_in = len(raw.encode("utf-8"))
+    except UnicodeEncodeError:
+        # lone surrogates (e.g. surrogateescape-decoded input) are not
+        # utf-8-encodable; sanitize so the function stays total and the
+        # output is Arrow-safe
+        raw = raw.encode("utf-8", "replace").decode("utf-8")
+        bytes_in = len(raw.encode("utf-8"))
     kind = sniff_kind(raw)
     text, spans, kept, droppedn = _EXTRACTORS[kind](raw)
     return ExtractResult(
@@ -55,6 +63,6 @@ def extract_turn(raw: str | None) -> ExtractResult:
         spans=spans,
         blocks_kept=kept,
         blocks_dropped=droppedn,
-        bytes_in=len(raw.encode("utf-8")),
+        bytes_in=bytes_in,
         bytes_out=len(text.encode("utf-8")),
     )

@@ -83,6 +83,19 @@ _TABLE_BLOCK_RE = re.compile(
 _NOISEISH_RE = re.compile(r"(?i)^\s*(?:dated?\b|date\b|page\b)")
 
 _INVOICE_LABELS = ("invoice no", "dispatch doc no", "reference no")
+# same-line 'Label : value' forms (pdf_layout's ':'-continuation merge
+# turns split label/value lines into exactly this shape)
+_INLINE_VALUE_RE = re.compile(r"^(.*?)[\s.]*[:\-]\s*(\S.*)$")
+
+
+def _inline_value(line: str, label_low: str, prefix: bool = False) -> str | None:
+    """Value after ':'/'-' on a label line ('Invoice No. : INV-7731')."""
+    m = _INLINE_VALUE_RE.match(line)
+    if not m:
+        return None
+    head = m.group(1).strip().lower()
+    ok = head.startswith(label_low) if prefix else head == label_low
+    return m.group(2).strip() if ok and m.group(2).strip() else None
 
 
 def classify_category(text: str) -> str:
@@ -157,10 +170,14 @@ def extract_fields(text: str) -> Fields:
 
     for i, ln in enumerate(lines):
         ll = low[i]
-        if consignor is None and ll == "consignor" and i + 1 < n:
-            consignor = lines[i + 1] or None  # W2 label→next
-        elif consignee is None and ll == "consignee" and i + 1 < n:
-            consignee = lines[i + 1] or None
+        if consignor is None and ll.startswith("consignor"):
+            consignor = _inline_value(ln, "consignor")
+            if consignor is None and ll == "consignor" and i + 1 < n:
+                consignor = lines[i + 1] or None  # W2 label→next
+        elif consignee is None and ll.startswith("consignee"):
+            consignee = _inline_value(ln, "consignee")
+            if consignee is None and ll == "consignee" and i + 1 < n:
+                consignee = lines[i + 1] or None
         elif from_city is None and ll == "from" and i + 1 < n:
             from_city = lines[i + 1] or None  # W3 label→offsets
             for j in range(i + 1, min(i + 3, n)):
@@ -176,6 +193,14 @@ def extract_fields(text: str) -> Fields:
                     to_state = pm.group(1)
                     break
         if invoice_no is None and any(lbl in ll for lbl in _INVOICE_LABELS):
+            # same-line 'Invoice No. : INV-7731' first (merged layout)
+            for lbl in _INVOICE_LABELS:
+                iv = _inline_value(ln, lbl, prefix=True)
+                if iv and (_INVOICEISH_RE.match(iv) or _BARE_NUM_RE.match(iv)):
+                    invoice_no = iv
+                    break
+            if invoice_no is not None:
+                continue
             # W4: bounded lookahead, skipping date/noise decoys
             for j in range(i + 1, min(i + 4, n)):
                 cand = lines[j]

@@ -47,6 +47,7 @@ _BLOCK_TAGS = frozenset({
 })
 
 _MIN_WORDS = 3
+_MIN_SOLID_CHARS = 12  # unsegmented-script fallback (no whitespace words)
 _MAX_LINK_DENSITY = 0.34
 
 
@@ -64,9 +65,16 @@ class Block(NamedTuple):
 
     @property
     def kept(self) -> bool:
+        # word-count gate fails for unsegmented scripts (CJK/Thai have
+        # no spaces) — a 12+ non-space-char block passes regardless of
+        # word segmentation; short junk ("Read more") stays dropped
+        substantial = (
+            len(self.text.split()) >= _MIN_WORDS
+            or len(self.text.replace(" ", "")) >= _MIN_SOLID_CHARS
+        )
         return (
             not self.boiler
-            and len(self.text.split()) >= _MIN_WORDS
+            and substantial
             and self.link_density < _MAX_LINK_DENSITY
         )
 

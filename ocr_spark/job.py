@@ -92,6 +92,11 @@ def ensure_package_shipped(spark: SparkSession) -> None:
                     zf.write(full, rel)
     sc.addPyFile(zip_path)
     sc._ocr_spark_shipped = True
+    # Spark serves the zip through its file server from its own copy;
+    # reclaim the staging file when the process exits
+    import atexit
+
+    atexit.register(lambda p=zip_path: os.path.exists(p) and os.unlink(p))
 
 
 # --------------------------------------------------------------------------

@@ -64,6 +64,9 @@ def conv_rollup_grouped(transcripts: DataFrame) -> DataFrame:
     def roll(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
         roles = pdf["role"]
+        lens = pdf["text"].str.len()
+        # match native sum(length(text)): nulls skipped, all-null → NULL
+        total_chars = int(lens.sum()) if lens.notna().any() else None
         return pd.DataFrame(
             {
                 "conv_id": [pdf["conv_id"].iloc[0]],
@@ -73,7 +76,7 @@ def conv_rollup_grouped(transcripts: DataFrame) -> DataFrame:
                 "n_tool": [int((roles == "tool").sum())],
                 "first_role": [roles.iloc[0]],
                 "last_role": [roles.iloc[-1]],
-                "total_chars": [int(pdf["text"].str.len().sum())],
+                "total_chars": [total_chars],
             }
         )
 

@@ -45,14 +45,30 @@ _shingle_cache: list[DataFrame] = []  # at most one entry (see swap)
 
 
 def _swap_shingle_cache(arr: DataFrame) -> DataFrame:
-    """Persist ``arr``, releasing the previous call's cached table."""
+    """Persist ``arr``, releasing the previous call's cached table.
+    The previous table may belong to an already-stopped SparkSession
+    (bench workers, test flows) — a failed unpersist is ignorable."""
     from pyspark import StorageLevel
 
     while _shingle_cache:
-        _shingle_cache.pop().unpersist(blocking=False)
+        try:
+            _shingle_cache.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # stale session: nothing left to release
     arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
     _shingle_cache.append(arr)
     return arr
+
+
+def _sig_cols(num_hashes: int) -> list:
+    """The k MinHash signature expressions over a ``sh_arr`` column —
+    single source of truth for the salt format (oracle parity)."""
+    return [
+        F.array_min(
+            F.transform(F.col("sh_arr"), lambda x, i=i: F.md5(F.concat(F.lit(f"s{i}|"), x)))
+        ).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -138,13 +154,7 @@ def minhash_signatures(
     work, so it pipelines with the scan at any scale (the exploded
     groupBy formulation costs a full shuffle of the shingle stream)."""
     arr = shingle_arrays(df, text_col, id_col, n)
-    cols = [
-        F.array_min(
-            F.transform(F.col("sh_arr"), lambda x, i=i: F.md5(F.concat(F.lit(f"s{i}|"), x)))
-        ).alias(f"sig{i}")
-        for i in range(num_hashes)
-    ]
-    return arr.select("id", *cols)
+    return arr.select("id", *_sig_cols(num_hashes))
 
 
 def lsh_candidate_pairs(
@@ -161,6 +171,11 @@ def lsh_candidate_pairs(
     trade recall for a hard bound on join fan-out; at 100 TB this is
     what keeps the stage from quadratic blowup.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — trailing signatures would be silently unused"
+        )
     r = num_hashes // bands
     band_rows = []
     for b in range(bands):
@@ -204,13 +219,7 @@ def minhash_lsh_dedup(
     # unpersisted) so repeated invocations pin at most ONE shingle
     # table in (evictable MEMORY_AND_DISK) storage.
     arr = _swap_shingle_cache(shingle_arrays(df, text_col, id_col, n))
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("sh_arr"), lambda x, i=i: F.md5(F.concat(F.lit(f"s{i}|"), x)))
-        ).alias(f"sig{i}")
-        for i in range(num_hashes)
-    ]
-    sig = arr.select("id", *sig_cols)
+    sig = arr.select("id", *_sig_cols(num_hashes))
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     # exact verify via per-pair array_intersect: two equi-joins to
     # attach each side's shingle array, O(|A|+|B|) intersect per pair

@@ -178,7 +178,7 @@ _FIXTURE_CACHE: dict[float, str] = {}
 
 
 def _sf_of(sf_dir: str) -> float:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     return float(m.group(1)) if m else 0.01
 
 
