@@ -285,3 +285,49 @@ def test_field_extraction_rates_on_fixtures():
                 hits[k] += 1
     for k, v in hits.items():
         assert v / n >= 0.95, (k, v / n)
+
+
+def test_lone_surrogate_is_sanitized_not_raised():
+    from ocr_spark.core.extract import extract_turn
+
+    r = extract_turn("hello \ud800 world of surrogate escapes")
+    assert "hello" in r.extracted_text
+    assert r.bytes_in > 0 and r.bytes_out > 0  # byte counts computed
+
+
+def test_cjk_html_blocks_are_kept():
+    from ocr_spark.core.html_main import extract_html
+
+    text, spans, kept, dropped = extract_html(
+        "<p>这是一段较长的中文正文内容用于测试提取流程</p>"
+        "<nav><a href='/a'>链接</a> | <a href='/b'>更多</a></nav>"
+        "<p>第二段中文内容也应当被保留下来</p>"
+    )
+    assert kept == 2  # both CJK body paragraphs survive the word gate
+    assert "这是一段较长的中文正文内容用于测试提取流程" in text
+    assert "链接" not in text  # nav boilerplate still dropped
+
+
+def test_fields_inline_label_value_merged_layout():
+    from ocr_spark.core.fields import extract_fields
+    from ocr_spark.core.pdf_layout import extract_pdf_like
+
+    raw = "\n".join([
+        "TAX INVOICE",
+        "Invoice No.",
+        ": INV-4410",
+        "Consignor",
+        ": Hill Valley Industries",
+        "Consignee",
+        ": Plainview Traders",
+        "VEHICLE NO",
+        ": KA05AB 7788",
+        "DATE: 9/11/2025",
+    ])
+    text, *_ = extract_pdf_like(raw)  # ':'-continuation merges apply
+    f = extract_fields(text)
+    assert f.invoice_no == "INV-4410"
+    assert f.consignor == "Hill Valley Industries"
+    assert f.consignee == "Plainview Traders"
+    assert f.vehicle_no == "KA05AB7788"
+    assert f.doc_date == "2025-11-09"
