@@ -115,8 +115,12 @@ class _MainContentParser(HTMLParser):
             self._block_boiler = False
             return
         decoded = "".join(c[2] for c in self._chunks)
-        text = collapse_all_ws(normalize_unicode(fix_confusables(decoded)))
-        total = len(collapse_all_ws(decoded))
+        normalized = normalize_unicode(fix_confusables(decoded))
+        text = collapse_all_ws(normalized)
+        # total is the collapsed length of the RAW decoded text; when
+        # normalization was an identity (the common case) that equals
+        # len(text) — skip the second collapse pass
+        total = len(text) if normalized == decoded else len(collapse_all_ws(decoded))
         start = self._chunks[0][0]
         end = self._chunks[-1][1]
         if text:
