@@ -145,3 +145,26 @@ def token_estimate(c: Column) -> Column:
     return (n_words + F.floor((extra + 3) / 4).cast("int") + n_punct).alias(
         "token_estimate"
     )
+
+
+def winnow_fingerprints(c: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., public):
+    hash every k-char gram, keep the minimum hash of each w-gram
+    window, dedupe — a robust substring-level fingerprint set for
+    near-dup detection. md5-hex stands in for the polynomial rolling
+    hash (window-minimum semantics identical; md5 is the repo's
+    engine-portable hash). SQL twin mirrors via list_transform/range.
+    """
+    n_grams = F.length(c) - F.lit(k - 1)
+    gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(gram_idx, lambda i: F.md5(F.substring(c, i, k)))
+    n_win = F.size(hashes) - F.lit(w - 1)
+    win_idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    minima = F.transform(
+        win_idx, lambda i: F.array_min(F.slice(hashes, i, w))
+    )
+    return F.array_sort(F.array_distinct(minima))

@@ -105,3 +105,77 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_width", IntegerType()),
+        StructField("resized_height", IntegerType()),
+        StructField("thumbnail", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Image resize plumbing: aspect-preserving target dims + a
+    deterministic stub thumbnail (real path: PIL.Image.thumbnail).
+    Filters to image payloads first so the decode stage scans only the
+    relevant rows (predicate applied before the Python boundary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = payload if isinstance(payload, bytes) else bytes(payload)
+                w, h = _fake_decode(b, "image/png")
+                scale = min(1.0, max_side / max(w, h))
+                rw, rh = max(1, int(w * scale)), max(1, int(h * scale))
+                # STUB thumbnail: digest-derived bytes, length rw*rh//64
+                thumb = hashlib.sha256(b).digest() * (1 + rw * rh // 2048)
+                rows.append((int(doc_id), w, h, rw, rh, thumb[: max(1, rw * rh // 64)]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "resized_width", "resized_height", "thumbnail",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "image/png").mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: N evenly-spaced frames per
+    payload (real path: pyav seek+decode). One input row fans out to N
+    output rows — the mapInPandas generator shape for 1→N expansion."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = payload if isinstance(payload, bytes) else bytes(payload)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    # STUB frame decode: checksum of the byte window
+                    window = b[i * step : (i + 1) * step] or b
+                    rows.append(
+                        (int(doc_id), i, hashlib.md5(window).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_checksum"])
+
+    return media.filter(F.col("media_type") == "video/mp4").mapInPandas(
+        run, FRAME_SCHEMA
+    )

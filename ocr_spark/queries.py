@@ -256,6 +256,30 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(to_media_table(_docs(spark, sf_dir)))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.job import ensure_package_shipped
+    from ocr_spark.operators.multimodal import resize_images
+
+    ensure_package_shipped(spark)
+    return resize_images(to_media_table(_docs(spark, sf_dir)))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.job import ensure_package_shipped
+    from ocr_spark.operators.multimodal import sample_frames
+
+    ensure_package_shipped(spark)
+    return sample_frames(to_media_table(_docs(spark, sf_dir)))
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.functions.text import winnow_fingerprints
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational operator suite (SURVEY §2.5/2.6 mappings)
     "q1_pricing_summary": R.pricing_summary,
@@ -305,6 +329,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transaction_pivot": q_transaction_pivot,
     "extract_documents": q_extract_documents,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    "winnow_docs": q_winnow,
 }
 
 # ---------------------------------------------------------------------------
@@ -761,6 +788,20 @@ SELECT label, count(*) AS n,
   round(CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE)
         / count(*), 6) AS centroid_c0
 FROM embeddings GROUP BY label
+""",
+    "winnow_docs": """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(greatest(length(text) - 7, 0)),
+                        i -> md5(substr(text, CAST(i + 1 AS INTEGER), 8))) AS hashes
+  FROM documents
+)
+SELECT doc_id,
+  list_sort(list_distinct(
+    list_transform(range(greatest(len(hashes) - 3, 0)),
+                   i -> list_min(hashes[CAST(i + 1 AS INTEGER):CAST(i + 4 AS INTEGER)]))
+  )) AS fps
+FROM g
 """,
     "media_meta": """
 SELECT doc_id,
