@@ -348,3 +348,48 @@ def format_tons(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string("%.3f Tons", F.col("max_k") / F.lit(1000.0)).alias("tons"),
         )
     )
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus) — all grouping-set combinations in
+    one pass (rollup's sibling; subtotals carry NULLs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(15,4)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def sessionize_events(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event exceeds ``gap_minutes`` (lag + cumulative-sum
+    windows — the batch formulation of session windows; the streaming
+    twin is ``F.session_window``). Output: per-user session count and
+    largest session size."""
+    ev = load_table(spark, sf_dir, "events")
+    # NTZ timestamps can't cast straight to long; with the session TZ
+    # pinned UTC the TIMESTAMP round-trip equals DuckDB's epoch(ts)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w)) > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = gapped.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("int").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )

@@ -301,6 +301,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w7_multi_pass": R.multi_pass_coalesce,
     "orders_by_month": R.orders_by_month,
     "revenue_rollup": R.revenue_rollup,
+    "revenue_cube": R.revenue_cube,
+    "sessionize_events": R.sessionize_events,
     "format_tons": R.format_tons,
     "embedding_components": q_embedding_components,
     # text analysis (training-data ops)
@@ -695,6 +697,37 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+""",
+    "revenue_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "sessionize_events": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(session_id) + 1 AS INTEGER) AS n_sessions,
+       max(n_events) AS max_session_events
+FROM per GROUP BY user_id
 """,
     "format_tons": r"""
 WITH k AS (
