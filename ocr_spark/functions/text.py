@@ -148,13 +148,12 @@ def token_estimate(c: Column) -> Column:
 
 
 def winnow_fingerprints(c: Column, k: int = 8, w: int = 4) -> Column:
-    """Winnowing document fingerprints (Schleimer et al., public):
-    hash every k-char gram, keep the minimum hash of each w-gram
-    window, dedupe — a robust substring-level fingerprint set for
-    near-dup detection. md5-hex stands in for the polynomial rolling
-    hash (window-minimum semantics identical; md5 is the repo's
-    engine-portable hash). SQL twin mirrors via list_transform/range.
-    """
+    """DEPRECATED array formulation — kept only as the semantic
+    reference; lambda capture of the outer ``hashes`` array makes
+    Catalyst re-evaluate the full k-gram hash array per window
+    (O(n²) md5 per document). Use
+    ``ocr_spark.operators.dedup.winnow_docs`` (exploded window
+    formulation, linear) for real workloads."""
     n_grams = F.length(c) - F.lit(k - 1)
     gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")

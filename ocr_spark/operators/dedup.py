@@ -288,3 +288,44 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             "",
         ).alias("simhash")
     )
+
+
+def winnow_docs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., public): hash every
+    k-char gram, keep each w-window's minimum hash, dedupe + sort.
+
+    Exploded window formulation — one row per gram, frame-min over a
+    (0, w-1) window, collect per doc. Linear in document length and
+    shuffle-bounded by the gram stream (the pure-array formulation
+    re-evaluates the whole hash array per window under Catalyst's
+    lambda inlining — O(n²) md5). Output: (doc_id, fps array<string>).
+    """
+    from pyspark.sql import Window
+
+    n_grams = F.length(F.col(text_col)) - F.lit(k - 1)
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.explode(
+            F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    ).select("id", "i", F.md5(F.expr(f"substring(t, i, {k})")).alias("h"))
+    win = Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    minima = grams.withColumn("wmin", F.min("h").over(win)).withColumn(
+        "n", F.max("i").over(Window.partitionBy("id"))
+    )
+    # only full windows (the last w-1 grams have truncated frames)
+    full = minima.filter(F.col("i") <= F.col("n") - F.lit(w - 1))
+    return (
+        full.groupBy("id")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("wmin"))).alias("fps"))
+        .select(F.col("id").alias("doc_id"), "fps")
+    )

@@ -67,6 +67,12 @@ def to_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _as_bytes(payload) -> bytes:
+    """Arrow binary payloads arrive as bytes or bytearray/memoryview
+    depending on batch path — one coercion point for all decoders."""
+    return payload if isinstance(payload, bytes) else bytes(payload)
+
+
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int]:
     """STUB decode. Real decode (PIL.Image.open / soundfile / pyav)
     is unavailable in this container — this deterministic stand-in
@@ -87,7 +93,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = [
-                _fake_decode(p if isinstance(p, bytes) else bytes(p), m)
+                _fake_decode(_as_bytes(p), m)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
@@ -98,8 +104,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "width": pd.Series([w for w, _ in dims], dtype="int32"),
                     "height": pd.Series([h for _, h in dims], dtype="int32"),
                     "checksum": [
-                        hashlib.md5(p if isinstance(p, bytes) else bytes(p)).hexdigest()
-                        for p in pdf["payload"]
+                        hashlib.md5(_as_bytes(p)).hexdigest() for p in pdf["payload"]
                     ],
                 }
             )
@@ -137,7 +142,7 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = payload if isinstance(payload, bytes) else bytes(payload)
+                b = _as_bytes(payload)
                 w, h = _fake_decode(b, "image/png")
                 scale = min(1.0, max_side / max(w, h))
                 rw, rh = max(1, int(w * scale)), max(1, int(h * scale))
@@ -166,7 +171,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = payload if isinstance(payload, bytes) else bytes(payload)
+                b = _as_bytes(payload)
                 step = max(1, len(b) // n_frames)
                 for i in range(n_frames):
                     # STUB frame decode: checksum of the byte window

@@ -369,15 +369,16 @@ def sessionize_events(
     twin is ``F.session_window``). Output: per-user session count and
     largest session size."""
     ev = load_table(spark, sf_dir, "events")
-    # NTZ timestamps can't cast straight to long; with the session TZ
-    # pinned UTC the TIMESTAMP round-trip equals DuckDB's epoch(ts)
+    # microsecond-precision epoch on BOTH sides (DuckDB twin uses
+    # epoch_us): whole-second truncation would disagree with the
+    # oracle for gaps within 1s of the boundary
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gapped = ev.withColumn(
         "new_session",
         F.when(
-            (epoch - F.lag(epoch).over(w)) > gap_minutes * 60,
+            (epoch - F.lag(epoch).over(w)) > gap_minutes * 60 * 1_000_000,
             1,
         )
         .otherwise(0)

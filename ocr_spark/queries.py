@@ -273,11 +273,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_spark.functions.text import winnow_fingerprints
+    from ocr_spark.operators.dedup import winnow_docs
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
-    )
+    return winnow_docs(_docs(spark, sf_dir))
 
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -708,8 +706,8 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
     "sessionize_events": """
 WITH g AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
-                PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
@@ -823,18 +821,22 @@ SELECT label, count(*) AS n,
 FROM embeddings GROUP BY label
 """,
     "winnow_docs": """
-WITH g AS (
+WITH grams AS (
   SELECT doc_id,
-         list_transform(range(greatest(length(text) - 7, 0)),
-                        i -> md5(substr(text, CAST(i + 1 AS INTEGER), 8))) AS hashes
+         CAST(unnest(range(1, greatest(length(text) - 6, 1))) AS INTEGER) AS i,
+         md5(substr(text, CAST(unnest(range(1, greatest(length(text) - 6, 1))) AS INTEGER), 8)) AS h
   FROM documents
+),
+minima AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         max(i) OVER (PARTITION BY doc_id) AS n
+  FROM grams
 )
-SELECT doc_id,
-  list_sort(list_distinct(
-    list_transform(range(greatest(len(hashes) - 3, 0)),
-                   i -> list_min(hashes[CAST(i + 1 AS INTEGER):CAST(i + 4 AS INTEGER)]))
-  )) AS fps
-FROM g
+SELECT doc_id, list_sort(list(DISTINCT wmin)) AS fps
+FROM minima WHERE i <= n - 3
+GROUP BY doc_id
 """,
     "media_meta": """
 SELECT doc_id,
