@@ -49,6 +49,14 @@ class Fields(NamedTuple):
     quantity: str | None       # "1,234.500 MT" (F9 formatting)
     net_weight: str | None
     total_qty: str | None      # sum over table block (A1)
+    eway_bill_no: str | None   # 10-15 digit no. near its label (e_way_bill.py:24-36)
+    generated_date: str | None  # raw d/m/y as found (e_way_bill.py:40)
+    valid_upto: str | None     # raw d/m/y as found (e_way_bill.py:41)
+    transporter: str | None    # label→value (lr_copy.py:30, generalized)
+    material: str | None       # W9 skip-list (weighbridge.py:84-93)
+    name: str | None           # W10 line-0/line-4 heuristic (weighbridge.py:153-166)
+    carrier_no: str | None     # vehicle pattern on a Carrier line (weighbridge.py:64-74)
+    lr_no: str | None          # date-proximity consignment no (ocr_utils.py:95-114)
 
 
 FIELD_NAMES = tuple(Fields._fields)
@@ -74,13 +82,47 @@ _QTY_RE = re.compile(
 )
 _NUM_RE = re.compile(r"\d{1,3}(?:,\d{3})*(?:\.\d{1,3})?")
 _BARE_NUM_RE = re.compile(r"^\d+(?:[.,]\d+)?$")
-_NET_WT_RE = re.compile(r"net\s*weight[^:\d]*[:\-]?\s*(\d+(?:,\d{3})*(?:\.\d{1,3})?)", re.IGNORECASE)
+# same-line only ([^:\d\n]): the reference scans per-line
+# (weighbridge.py:119-127); letting the gap cross newlines would grab
+# the first digit of a later unrelated line
+_NET_WT_RE = re.compile(
+    r"net\s*weight[^:\d\n]*[:\-]?\s*(\d+(?:,\d{3})*(?:\.\d{1,3})?)", re.IGNORECASE
+)
 _PAREN_RE = re.compile(r"\(([^)]+)\)")
 _INVOICEISH_RE = re.compile(r"^[A-Z]{0,5}[-/]?\d{3,}$|^INV[-/]?\w+$", re.IGNORECASE)
 _TABLE_BLOCK_RE = re.compile(
     r"(?is)\bS\.?R\.?\s*\.?\s*NO\b.{0,800}?\bTOTAL\b"
 )
 _NOISEISH_RE = re.compile(r"(?i)^\s*(?:dated?\b|date\b|page\b)")
+
+# E-Way Bill fields (semantics from e_way_bill.py:24-41)
+_EWAY_NO_ANCHOR_RE = re.compile(r"e[\s-]?way\s*bill|transporter\s*doc")
+_EWAY_NO_RE = re.compile(r"\b\d{10,15}\b")
+_GEN_DATE_RE = re.compile(
+    r"generated\s+date[:\-]?\s*(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", re.IGNORECASE
+)
+_VALID_UPTO_RE = re.compile(
+    r"valid\s+upto[:\-]?\s*(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", re.IGNORECASE
+)
+# W9 material skip-list (weighbridge.py:85) + non-word candidate gate
+_MATERIAL_LABELS = ("material", "commodity", "product name")
+_MATERIAL_SKIP = (
+    "vehicle", "operator", "date", "source", "time", "gross", "tare", "net", "wt"
+)
+_NONWORD_LINE_RE = re.compile(r"^[\d\W\s]+$")
+# W10 name heuristics (weighbridge.py:156-164): substring keyword vetoes
+_NAME_SKIP_L0 = ("rst", "no", "kg", "wt", "date", "phone", "vehicle")
+_NAME_SKIP_L4 = ("gross", "net", "tare", "phone", "bags", "date", "wt", "operator")
+# carrier-format vehicle number, no internal space (weighbridge.py:70)
+_CARRIER_VEH_RE = re.compile(r"\b[A-Z]{2}\d{2}[A-Z]{1,3}\d{3,4}\b")
+# LR/consignment no via date proximity (ocr_utils.py:95-114)
+_DATE_LINE_RE = re.compile(r"\bDATE[:\-]?\s*\d{1,2}[/-]\d{1,2}[/-]\d{2,4}", re.IGNORECASE)
+_LR_NO_RE = re.compile(r"^\s*\d{3,6}\s*$")
+# F10 textual-digit decode (weighbridge.py:17-20)
+_TEXTUAL_DIGITS = {
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+}
 
 _INVOICE_LABELS = ("invoice no", "dispatch doc no", "reference no")
 # same-line 'Label : value' forms (pdf_layout's ':'-continuation merge
@@ -162,6 +204,7 @@ def extract_fields(text: str) -> Fields:
     consignor = consignee = None
     from_city = from_state = to_city = to_state = None
     invoice_no = None
+    eway_bill_no = transporter = material = carrier_no = None
     qty_candidates: list[tuple[float, str]] = []
 
     m = _VEHICLE_RE.search(text)
@@ -209,6 +252,49 @@ def extract_fields(text: str) -> Fields:
                 if _INVOICEISH_RE.match(cand) or _BARE_NUM_RE.match(cand):
                     invoice_no = cand
                     break
+        if eway_bill_no is None and _EWAY_NO_ANCHOR_RE.search(ll):
+            # 10-15 digit number on the anchor line or the next two
+            # (e_way_bill.py:26-33 scans lines[i:i+3])
+            for j in range(i, min(i + 3, n)):
+                em = _EWAY_NO_RE.search(lines[j])
+                if em:
+                    eway_bill_no = em.group(0)
+                    break
+        if (
+            transporter is None
+            and ll.startswith("transporter")
+            # "Transporter Doc" is the e-way-no anchor, not a name label
+            and not ll.startswith("transporter doc")
+        ):
+            transporter = _inline_value(ln, "transporter name", prefix=True) or (
+                _inline_value(ln, "transporter", prefix=True)
+            )
+            if (
+                transporter is None
+                and ll in ("transporter", "transporter name")
+                and i + 1 < n
+            ):
+                transporter = lines[i + 1] or None  # W2 label→next
+        if material is None and any(lbl in ll for lbl in _MATERIAL_LABELS):
+            # W9: next 1-2 lines, skipping generic-keyword decoys
+            # (weighbridge.py:84-93); e-way "Product Name" path maps
+            # PET-family products to "PET" (e_way_bill.py:85-88)
+            is_product = "product name" in ll
+            for off in (1, 2):
+                if i + off < n:
+                    cand = lines[i + off].strip(":;").strip()
+                    cl = cand.lower()
+                    if (
+                        cand
+                        and not any(k in cl for k in _MATERIAL_SKIP)
+                        and not _NONWORD_LINE_RE.match(cand)
+                    ):
+                        material = "PET" if (is_product and "pet" in cl) else cand.title()
+                        break
+        if carrier_no is None and "carrier" in ll:
+            cm = _CARRIER_VEH_RE.search(ln.upper())
+            if cm:
+                carrier_no = cm.group(0)
         if "quantity" in ll or "qty" in ll:
             # W5: value line then unit possibly on the following line
             for j in range(i + 1, min(i + 6, n)):
@@ -249,6 +335,18 @@ def extract_fields(text: str) -> Fields:
             if low[i] == "net" and low[i + 1] == "weight" and _BARE_NUM_RE.match(lines[i + 2]):
                 net_weight = lines[i + 2]
                 break
+    if net_weight is None:
+        # F10 textual-digit fallback (weighbridge.py:130-136): a line
+        # with spelled-out digits and a kg mention decodes to the raw
+        # digit string (the reference formats to Tons there; formatting
+        # is F9's job downstream, so the raw value is kept like the
+        # numeric paths above)
+        for l2 in low:
+            if "one" in l2 and "kg" in l2:
+                digits = "".join(_TEXTUAL_DIGITS.get(w, "") for w in l2.split())
+                if len(digits) >= 4:
+                    net_weight = digits
+                    break
 
     total_qty = None
     tb = _TABLE_BLOCK_RE.search(text)
@@ -261,6 +359,35 @@ def extract_fields(text: str) -> Fields:
             # A1: the block match ends AT the TOTAL keyword, so every
             # captured decimal is a row value — sum them all
             total_qty = f"{sum(decimals):,.3f}"
+
+    if vehicle_no is None and carrier_no is not None:
+        vehicle_no = carrier_no  # pass-3a fallback (weighbridge.py:64-74)
+
+    # W10 name: the reference emits Name only from the weighbridge
+    # extractor (weighbridge.py:153-166) — line 0 if it reads like a
+    # short firm name, else line 4 (legacy slips); substring vetoes
+    name = None
+    if category == "Weighbridge" and n > 0:
+        if 2 <= len(low[0].split()) <= 5 and not any(k in low[0] for k in _NAME_SKIP_L0):
+            name = lines[0].title()
+        if name is None and n > 4:
+            if 2 <= len(low[4].split()) <= 5 and not any(
+                k in low[4] for k in _NAME_SKIP_L4
+            ):
+                name = lines[4].title()
+
+    # LR/consignment no: bare 3-6 digit line within 9 lines above the
+    # first DATE line (ocr_utils.py:95-114)
+    lr_no = None
+    date_idx = next((i for i, ln in enumerate(lines) if _DATE_LINE_RE.search(ln)), None)
+    if date_idx is not None and date_idx > 0:
+        for j in range(date_idx - 1, max(date_idx - 10, -1), -1):
+            if _LR_NO_RE.match(lines[j]):
+                lr_no = lines[j].strip()
+                break
+
+    gm = _GEN_DATE_RE.search(text)
+    vm = _VALID_UPTO_RE.search(text)
 
     return Fields(
         category=category,
@@ -276,4 +403,12 @@ def extract_fields(text: str) -> Fields:
         quantity=quantity,
         net_weight=net_weight,
         total_qty=total_qty,
+        eway_bill_no=eway_bill_no,
+        generated_date=gm.group(1) if gm else None,
+        valid_upto=vm.group(1) if vm else None,
+        transporter=transporter,
+        material=material,
+        name=name,
+        carrier_no=carrier_no,
+        lr_no=lr_no,
     )

@@ -32,7 +32,13 @@ _WORDS = (
     "factory plant unit measure value amount total net gross tare"
 ).split()
 
+# bump whenever generator output changes: cached fixture parquet paths
+# embed this so stale round-(N-1) files are never reused
+FIXTURE_VERSION = 2
+
 _STATES = ("Maharashtra", "Gujarat", "West Bengal", "Karnataka", "Rajasthan")
+_MATERIALS = ("PLASTIC GRANULE", "PET BOTTLE SCRAP", "HDPE REGRIND", "LDPE FILM ROLL")
+_DIGIT_WORDS = ("zero", "one", "two", "three", "four", "five", "six", "seven", "eight", "nine")
 _CITIES = ("Mumbai", "Surat", "Kolkata", "Bengaluru", "Jaipur", "Nagpur")
 _UNITS = ("KGS", "KG", "MT", "TONS")
 _EMOJI = ("✅", "🚚", "📦", "🔍", "—")
@@ -108,6 +114,10 @@ def _gen_pdf_like(rng: random.Random) -> str:
     head = rng.choice(
         ("CONSIGNMENT NOTE", "DELIVERY CHALLAN", "TAX INVOICE", "E-WAY BILL", "WEIGHBRIDGE SLIP")
     )
+    if head == "WEIGHBRIDGE SLIP":
+        # firm-name first line: the W10 name heuristic's line-0 case
+        # (weighbridge.py:156-159)
+        lines.append(f"{rng.choice(_WORDS).title()} Weigh Bridge")
     lines.append(head)
     lines.append(f"{rng.choice(_CITIES)} Transport Co.")
     # date-anchored number block (ocr_utils.py:95-114): standalone 3-6
@@ -137,8 +147,50 @@ def _gen_pdf_like(rng: random.Random) -> str:
     lines.append("VEHICLE NO")
     lines.append(f": {rng.choice(('MH', 'GJ', 'WB', 'KA', 'RJ'))}{rng.randint(10, 99)}"
                  f"{rng.choice(('A', 'AB', 'ABC'))} {rng.randint(1000, 9999)}")
-    # vertically stacked label (weighbridge.py:106-117)
-    lines += ["net", "weight", str(rng.randint(1000, 99999))]
+    # material label + skip-list decoy (W9, weighbridge.py:84-93);
+    # e-way bills use the Product Name label (e_way_bill.py:85-88)
+    mat = rng.choice(_MATERIALS)
+    if head == "E-WAY BILL":
+        lines.append("Product Name & Desc")
+        lines.append(mat)
+    else:
+        lines.append(rng.choice(("Material", "Commodity")))
+        if rng.random() < 0.3:
+            lines.append("Tare Wt")  # skip-keyword decoy
+        lines.append(mat)
+    # transporter label→value (lr_copy.py:30), inline or split
+    carrier_name = f"{_words(rng, 2).title()} Carriers"
+    if rng.random() < 0.4:
+        lines.append(f"Transporter Name : {carrier_name}")
+    else:
+        lines += ["Transporter Name", carrier_name]
+    if head == "WEIGHBRIDGE SLIP" and rng.random() < 0.5:
+        # carrier-format vehicle line (weighbridge.py:64-74)
+        lines.append(
+            f"Carrier No. : {rng.choice(('MH', 'GJ', 'WB', 'KA', 'RJ'))}"
+            f"{rng.randint(10, 99)}{rng.choice(('A', 'AB'))}{rng.randint(1000, 9999)}"
+        )
+    if rng.random() < 0.15:
+        # F10 textual-digit weight (weighbridge.py:130-136); leading
+        # 'one' guarantees the reference's "one in line" gate fires
+        wt_digits = "1" + str(rng.randint(100, 9999))
+        lines.append(
+            "net weight " + " ".join(_DIGIT_WORDS[int(c)] for c in wt_digits) + " kg"
+        )
+    else:
+        # vertically stacked label (weighbridge.py:106-117)
+        lines += ["net", "weight", str(rng.randint(1000, 99999))]
+    if head == "E-WAY BILL":
+        # 12-digit bill no near its anchor + validity window
+        # (e_way_bill.py:24-41)
+        lines.append("Transporter Doc")
+        lines.append(str(rng.randint(10**11, 10**12 - 1)))
+        lines.append(
+            f"Generated Date: {rng.randint(1, 28)}/{rng.randint(1, 12)}/{rng.randint(2023, 2026)}"
+        )
+        lines.append(
+            f"Valid Upto: {rng.randint(1, 28)}/{rng.randint(1, 12)}/{rng.randint(2023, 2026)}"
+        )
     lines.append("")
     # hyphen-broken word
     lines.append(f"{_words(rng, 4)} transpor-")

@@ -97,21 +97,52 @@ def first_by_turn(col_name: str):
     )["v"].alias(col_name)
 
 
+# fields the reference slots per weighbridge occurrence
+# (download.jsx:207-228: Date, Name, Vehicle Number, Net Weight)
+WEIGHBRIDGE_SLOT_FIELDS = ("doc_date", "name", "vehicle_no", "net_weight")
+
+
 def transaction_pivot(fields_df: DataFrame) -> DataFrame:
     """Per-conversation wide row from per-turn document fields: the
     reference's transaction pivot (one 53-column row per subfolder,
     download.jsx:158-264) over transcripts. Each field takes its first
     non-null value in turn order; doc counts by category ride along
-    (A6 weighbridgeCount analogue)."""
+    (A6 weighbridgeCount analogue).
+
+    A8 weighbridge slotting (download.jsx:205-239): the first
+    weighbridge doc in turn order fills the ``loading_*`` columns, the
+    second fills ``unloading_*``. (The reference's exact behavior is
+    arrival-order and, for 3+ weighbridge docs, last-wins into loading;
+    rank-by-turn is the deterministic generalization — documented
+    deviation.) Implemented as a running weighbridge counter window +
+    conditional aggregates: the window and the groupBy share the
+    conv_id hash partitioning, so the whole pivot is one shuffle."""
+    from pyspark.sql import Window
+
     from ocr_spark.core.fields import FIELD_NAMES
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_wb = F.col("category") == "Weighbridge"
+    staged = fields_df.withColumn(
+        "_wb_seq", F.sum(F.when(is_wb, 1).otherwise(0)).over(w)
+    )
 
     value_fields = [f for f in FIELD_NAMES if f != "category"]
     aggs = [F.count(F.lit(1)).cast("int").alias("n_docs")]
     aggs.append(
-        F.sum(F.when(F.col("category") == "Weighbridge", 1).otherwise(0))
-        .cast("int")
-        .alias("n_weighbridge")
+        F.sum(F.when(is_wb, 1).otherwise(0)).cast("int").alias("n_weighbridge")
     )
     aggs.append(first_by_turn("category"))
     aggs.extend(first_by_turn(f) for f in value_fields)
-    return fields_df.groupBy("conv_id").agg(*aggs)
+    for rank, prefix in ((1, "loading"), (2, "unloading")):
+        aggs.extend(
+            F.max(F.when(is_wb & (F.col("_wb_seq") == rank), F.col(c))).alias(
+                f"{prefix}_{c}"
+            )
+            for c in WEIGHBRIDGE_SLOT_FIELDS
+        )
+    return staged.groupBy("conv_id").agg(*aggs)

@@ -183,12 +183,15 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def transcripts_fixture_path(sf: float) -> str:
-    """Deterministic synthetic transcripts parquet for this sf (cached)."""
+    """Deterministic synthetic transcripts parquet for this sf (cached;
+    the generator version is part of the filename so a cached file from
+    an older generator is never reused)."""
     if sf not in _FIXTURE_CACHE:
-        from ocr_spark.fixtures import write_transcripts
+        from ocr_spark.fixtures import FIXTURE_VERSION, write_transcripts
 
         path = os.path.join(
-            tempfile.gettempdir(), f"ocr_spark_transcripts_sf{sf}.parquet"
+            tempfile.gettempdir(),
+            f"ocr_spark_transcripts_v{FIXTURE_VERSION}_sf{sf}.parquet",
         )
         if not os.path.exists(path):
             tmp = path + ".tmp"

@@ -264,6 +264,100 @@ def test_field_extraction_known_document():
     assert f.quantity == "12,500.250 KGS"
     assert f.net_weight == "18210"
     assert f.total_qty == "9.500"
+    assert f.lr_no == "482913"  # bare number above the DATE line
+
+
+def test_field_extraction_eway_union():
+    """New union fields from the e-way extractor (e_way_bill.py:24-96)."""
+    from ocr_spark.core.fields import extract_fields
+    from ocr_spark.core.pdf_layout import extract_pdf_like
+
+    raw = "\n".join([
+        "E-WAY BILL",
+        "771203",
+        "DATE: 2/1/2025",
+        "Transporter Doc",
+        "561204998877",
+        "Generated Date: 3/1/2025",
+        "Valid Upto: 18/1/2025",
+        "Product Name & Desc",
+        "PET BOTTLE SCRAP",
+        "Transporter Name : Blue Dart Carriers",
+    ])
+    text, *_ = extract_pdf_like(raw)
+    f = extract_fields(text)
+    assert f.category == "E Way Bill"
+    assert f.eway_bill_no == "561204998877"
+    assert f.generated_date == "3/1/2025"
+    assert f.valid_upto == "18/1/2025"
+    assert f.material == "PET"  # product-name PET mapping
+    assert f.transporter == "Blue Dart Carriers"
+    assert f.lr_no == "771203"
+
+
+def test_field_extraction_weighbridge_name_material_carrier():
+    """W9 skip-list material, W10 name (line 0), carrier_no fallback
+    (weighbridge.py:64-93,153-166)."""
+    from ocr_spark.core.fields import extract_fields
+    from ocr_spark.core.pdf_layout import extract_pdf_like
+
+    raw = "\n".join([
+        "Ajanta Weigh Bridge",
+        "WEIGHBRIDGE SLIP",
+        "Material",
+        "Tare Wt",            # W9 skip-keyword decoy
+        "HDPE REGRIND",
+        "Carrier No. : GJ05AB1234",
+        "net",
+        "weight",
+        "18450",
+    ])
+    text, *_ = extract_pdf_like(raw)
+    f = extract_fields(text)
+    assert f.category == "Weighbridge"
+    assert f.name == "Ajanta Weigh Bridge"
+    assert f.material == "Hdpe Regrind"
+    assert f.carrier_no == "GJ05AB1234"
+    assert f.vehicle_no == "GJ05AB1234"  # pass-3a carrier fallback
+    assert f.net_weight == "18450"
+
+
+def test_field_extraction_weighbridge_name_line4_fallback():
+    """W10 line-4 fallback when line 0 carries a veto keyword
+    (weighbridge.py:162-166)."""
+    from ocr_spark.core.fields import extract_fields
+    from ocr_spark.core.pdf_layout import extract_pdf_like
+
+    raw = "\n".join([
+        "Slip No 4471",      # "no" veto on line 0
+        "WEIGHBRIDGE SLIP",
+        "gross 22000",
+        "tare 4000",
+        "Ajanta Weigh Bridge",
+        "net",
+        "weight",
+        "18000",
+    ])
+    text, *_ = extract_pdf_like(raw)
+    f = extract_fields(text)
+    assert f.category == "Weighbridge"
+    assert f.name == "Ajanta Weigh Bridge"
+
+
+def test_textual_digit_net_weight():
+    """F10: spelled-out digits decode when no numeric form exists
+    (weighbridge.py:17-20,130-136); raw digit string like the numeric
+    paths (Tons formatting is F9's job downstream)."""
+    from ocr_spark.core.fields import extract_fields
+    from ocr_spark.core.pdf_layout import extract_pdf_like
+
+    raw = "\n".join([
+        "WEIGHBRIDGE SLIP",
+        "net weight one two two one zero kg",
+    ])
+    text, *_ = extract_pdf_like(raw)
+    f = extract_fields(text)
+    assert f.net_weight == "12210"
 
 
 def test_field_extraction_rates_on_fixtures():
@@ -275,7 +369,16 @@ def test_field_extraction_rates_on_fixtures():
 
     rng = random.Random(11)
     n = 150
-    hits = {k: 0 for k in ("vehicle_no", "doc_date", "invoice_no", "consignor", "quantity")}
+    hits = {
+        k: 0
+        for k in (
+            "vehicle_no", "doc_date", "invoice_no", "consignor", "quantity",
+            "material", "transporter", "lr_no", "net_weight",
+        )
+    }
+    cond = {"E Way Bill": {"eway_bill_no": 0, "generated_date": 0, "valid_upto": 0},
+            "Weighbridge": {"name": 0}}
+    cond_n = {"E Way Bill": 0, "Weighbridge": 0}
     for _ in range(n):
         text, *_ = extract_pdf_like(_gen_pdf_like(rng))
         f = extract_fields(text)
@@ -283,8 +386,18 @@ def test_field_extraction_rates_on_fixtures():
         for k in hits:
             if getattr(f, k) is not None:
                 hits[k] += 1
+        if f.category in cond:
+            cond_n[f.category] += 1
+            for k in cond[f.category]:
+                if getattr(f, k) is not None:
+                    cond[f.category][k] += 1
     for k, v in hits.items():
         assert v / n >= 0.95, (k, v / n)
+    # category-specific fields: checked only on docs of that category
+    for cat, fields in cond.items():
+        assert cond_n[cat] >= 10, cat  # the mix actually exercises them
+        for k, v in fields.items():
+            assert v / cond_n[cat] >= 0.9, (cat, k, v / cond_n[cat])
 
 
 def test_lone_surrogate_is_sanitized_not_raised():

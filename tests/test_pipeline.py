@@ -271,3 +271,45 @@ def test_fields_udf_and_transaction_pivot(spark, transcripts_path):
     first_vehicle = sub["vehicle_no"].dropna().iloc[0] if sub["vehicle_no"].notna().any() else None
     assert got[conv]["vehicle_no"] == first_vehicle
     assert got[conv]["n_docs"] == len(sub)
+
+
+def test_transaction_pivot_weighbridge_slotting(spark):
+    """A8 (download.jsx:205-239): first weighbridge → loading_*, second
+    → unloading_*, third+ ignored; single weighbridge → loading only."""
+    from ocr_spark.core.fields import FIELD_NAMES
+    from ocr_spark.operators.conversation import transaction_pivot
+
+    def row(conv, turn, cat, **kw):
+        base = {k: None for k in FIELD_NAMES}
+        base.update(category=cat, **kw)
+        return {"conv_id": conv, "turn_idx": turn, **base}
+
+    rows = [
+        row("c1", 0, "Weighbridge", doc_date="2025-01-01", name="A Bridge",
+            vehicle_no="MH01AB1111", net_weight="100"),
+        row("c1", 1, "Tax Invoice", invoice_no="INV-1"),
+        row("c1", 2, "Weighbridge", doc_date="2025-01-02", name="B Bridge",
+            vehicle_no="MH02AB2222", net_weight="200"),
+        row("c1", 3, "Weighbridge", doc_date="2025-01-03", net_weight="300"),
+        row("c2", 0, "Weighbridge", doc_date="2025-02-01", net_weight="500"),
+    ]
+    schema = ", ".join(
+        ["conv_id string", "turn_idx int"] + [f"{k} string" for k in FIELD_NAMES]
+    )
+    df = spark.createDataFrame(rows, schema=schema)
+    got = {r["conv_id"]: r for r in transaction_pivot(df).collect()}
+
+    c1 = got["c1"]
+    assert c1["n_weighbridge"] == 3
+    assert c1["loading_doc_date"] == "2025-01-01"
+    assert c1["loading_name"] == "A Bridge"
+    assert c1["loading_vehicle_no"] == "MH01AB1111"
+    assert c1["loading_net_weight"] == "100"
+    assert c1["unloading_doc_date"] == "2025-01-02"
+    assert c1["unloading_net_weight"] == "200"  # third weighbridge ignored
+    c2 = got["c2"]
+    assert c2["loading_net_weight"] == "500"
+    assert c2["unloading_doc_date"] is None
+    # first-wins columns still behave: category = first in turn order
+    assert c1["category"] == "Weighbridge"
+    assert c1["invoice_no"] == "INV-1"
