@@ -31,15 +31,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query.
-    Keys absent here (extract_transcripts, extract_documents,
-    extract_fields, transaction_pivot, conv_rollup,
-    multimodal_features) are non-SQL-expressible pipelines — the
-    driver records a rows-only check; their exact-equality gates are
-    tests/test_pipeline.py (pure-Python oracle equality,
-    native-vs-grouped rollup identity, fields ground truth) and
-    tests/test_core.py.
-    """
-    from ocr_spark.queries import ORACLE_SQL
+    """DuckDB-runnable ANSI SQL twin for each query.
 
+    Pipeline queries (extract_*, transaction_pivot) reference parquet
+    written by an independent pure-Python run of the shared extraction
+    core (ocr_spark/oracle_fixtures.py) and aggregate it in SQL;
+    conv_rollup's oracle is plain SQL over the same transcripts parquet
+    both sides read. This call materializes those files for the
+    driver's sf0.01 correctness tier. The only rows-only key left is
+    ``ivf_topk`` (MLlib k-means isn't SQL; its recall-vs-brute-force
+    gate is tests/test_similarity.py).
+    """
+    from ocr_spark.oracle_fixtures import ensure_oracle_fixtures
+    from ocr_spark.queries import ORACLE_SF, ORACLE_SF_DIR, ORACLE_SQL
+
+    ensure_oracle_fixtures(ORACLE_SF, ORACLE_SF_DIR)
     return dict(ORACLE_SQL)

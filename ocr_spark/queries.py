@@ -201,6 +201,14 @@ def transcripts_fixture_path(sf: float) -> str:
     return _FIXTURE_CACHE[sf]
 
 
+def _json_spans(df: DataFrame) -> DataFrame:
+    """Driver-surface projection: the typed spans array<struct> becomes
+    a compact JSON string (the driver's canonicalizer sorts/hashes
+    scalar cells; arrays crash it — library callers keep the typed
+    column via job.extract_transcripts)."""
+    return df.withColumn("spans", F.to_json("spans"))
+
+
 def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline: synthetic transcripts (same sf tier as
     sf_dir) → sniff → route → extract → spans+metrics."""
@@ -208,7 +216,7 @@ def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_shipped(spark)
     df = spark.read.parquet(transcripts_fixture_path(_sf_of(sf_dir)))
-    return extract_transcripts(df)
+    return _json_spans(extract_transcripts(df))
 
 
 def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,8 +226,10 @@ def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_shipped(spark)
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", extract_udf(F.col("text")).alias("x")).select(
-        "doc_id", "x.*"
+    return _json_spans(
+        d.select("doc_id", extract_udf(F.col("text")).alias("x")).select(
+            "doc_id", "x.*"
+        )
     )
 
 
@@ -260,11 +270,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface projects thumbnail bytes to their length (the
+    stub thumbnail is digest-repetition filler; its LENGTH is the part
+    with defined semantics, and the oracle can compute it)."""
     from ocr_spark.job import ensure_package_shipped
     from ocr_spark.operators.multimodal import resize_images
 
     ensure_package_shipped(spark)
-    return resize_images(to_media_table(_docs(spark, sf_dir)))
+    r = resize_images(to_media_table(_docs(spark, sf_dir)))
+    return r.select(
+        "doc_id", "width", "height", "resized_width", "resized_height",
+        F.octet_length("thumbnail").cast("int").alias("thumb_len"),
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,9 +293,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface serializes the fingerprint array to a CSV string
+    (sorted + distinct already, so the string is canonical)."""
     from ocr_spark.operators.dedup import winnow_docs
 
-    return winnow_docs(_docs(spark, sf_dir))
+    w = winnow_docs(_docs(spark, sf_dir))
+    return w.select("doc_id", F.array_join("fps", ",").alias("fps"))
 
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -515,6 +535,160 @@ toks AS (
          CAST(unnest(range(len(str_split(text, ' ')))) AS INTEGER) AS pos
   FROM documents
 )
+"""
+
+# ---------------------------------------------------------------------------
+# Pipeline oracles: pure-Python reference execution materialized as
+# parquet (ocr_spark/oracle_fixtures.py), aggregated/selected in SQL.
+# The driver's correctness pass runs at sf0.01 (driver contract), so
+# the embedded paths are pinned there; __spark_entry__.oracle_sql()
+# materializes the files before returning these strings.
+# ---------------------------------------------------------------------------
+
+from ocr_spark.core.fields import FIELD_NAMES  # noqa: E402
+from ocr_spark.operators.conversation import WEIGHBRIDGE_SLOT_FIELDS  # noqa: E402
+from ocr_spark.oracle_fixtures import (  # noqa: E402
+    docextract_oracle_name,
+    extract_oracle_name,
+    fields_oracle_name,
+    oracle_path,
+)
+
+ORACLE_SF = 0.01
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+_XT_PATH = oracle_path(extract_oracle_name(ORACLE_SF))
+_XD_PATH = oracle_path(docextract_oracle_name(ORACLE_SF_DIR))
+_FLD_PATH = oracle_path(fields_oracle_name(ORACLE_SF))
+
+
+def _transcripts_fixture_sql_path() -> str:
+    """The transcripts fixture parquet path for the oracle sf tier
+    (same file the Spark side reads — conv_rollup's oracle is plain
+    SQL over it, no Python oracle involved)."""
+    from ocr_spark.fixtures import FIXTURE_VERSION
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"ocr_spark_transcripts_v{FIXTURE_VERSION}_sf{ORACLE_SF}.parquet",
+    )
+
+
+def _transaction_pivot_sql() -> str:
+    value_fields = [f for f in FIELD_NAMES if f != "category"]
+    firsts = ",\n  ".join(
+        f"first({f} ORDER BY turn_idx) FILTER (WHERE {f} IS NOT NULL) AS {f}"
+        for f in value_fields
+    )
+    slots = ",\n  ".join(
+        f"max(CASE WHEN category = 'Weighbridge' AND wb_seq = {rank} "
+        f"THEN {c} END) AS {prefix}_{c}"
+        for rank, prefix in ((1, "loading"), (2, "unloading"))
+        for c in WEIGHBRIDGE_SLOT_FIELDS
+    )
+    return f"""
+WITH f AS (SELECT * FROM read_parquet('{_FLD_PATH}')),
+staged AS (
+  SELECT *, sum(CASE WHEN category = 'Weighbridge' THEN 1 ELSE 0 END) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wb_seq
+  FROM f)
+SELECT conv_id,
+  CAST(count(*) AS INTEGER) AS n_docs,
+  CAST(sum(CASE WHEN category = 'Weighbridge' THEN 1 ELSE 0 END) AS INTEGER)
+      AS n_weighbridge,
+  first(category ORDER BY turn_idx) AS category,
+  {firsts},
+  {slots}
+FROM staged GROUP BY conv_id
+"""
+
+
+def _conv_rollup_sql() -> str:
+    return f"""
+SELECT conv_id,
+  CAST(count(*) AS INTEGER) AS n_turns,
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS INTEGER) AS n_user,
+  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS INTEGER) AS n_assistant,
+  CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS INTEGER) AS n_tool,
+  arg_min(role, turn_idx) AS first_role,
+  arg_max(role, turn_idx) AS last_role,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM read_parquet('{_transcripts_fixture_sql_path()}')
+GROUP BY conv_id
+"""
+
+
+# sha256-hex byte extraction (DuckDB has no hex→int cast that is also
+# available as a blob index): byte k = two hex chars → strpos arithmetic
+def _sha_byte(col: str, k: int) -> str:
+    h = "0123456789abcdef"
+    return (
+        f"((strpos('{h}', substr({col}, {2 * k + 1}, 1)) - 1) * 16"
+        f" + (strpos('{h}', substr({col}, {2 * k + 2}, 1)) - 1))"
+    )
+
+
+def _multimodal_features_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         ELSE 'video/mp4' END AS media_type,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    sha256(text) AS sh,
+    md5(text) AS checksum
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes,
+  CAST(64 + {_sha_byte("sh", 0)} % 192 AS INTEGER) AS width,
+  CAST(64 + {_sha_byte("sh", 1)} % 192 AS INTEGER) AS height,
+  checksum
+FROM d
+"""
+
+
+def _multimodal_resize_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, sha256(text) AS sh FROM documents WHERE doc_id % 3 = 0
+),
+wh AS (
+  SELECT doc_id,
+    64 + {_sha_byte("sh", 0)} % 192 AS w,
+    64 + {_sha_byte("sh", 1)} % 192 AS h
+  FROM d
+),
+r AS (
+  SELECT doc_id, w, h,
+    greatest(1, CAST(floor(w * least(1.0, 64.0 / greatest(w, h))) AS INTEGER)) AS rw,
+    greatest(1, CAST(floor(h * least(1.0, 64.0 / greatest(w, h))) AS INTEGER)) AS rh
+  FROM wh
+)
+SELECT doc_id,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  rw AS resized_width, rh AS resized_height,
+  greatest(1, CAST(floor((rw * rh) / 64.0) AS INTEGER)) AS thumb_len
+FROM r
+"""
+
+
+def _multimodal_frames_sql(n_frames: int = 4) -> str:
+    return f"""
+WITH v AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(floor(length(text) / {n_frames}.0) AS INTEGER)) AS step
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, text, step,
+         CAST(unnest(range({n_frames})) AS INTEGER) AS frame_idx
+  FROM v
+)
+SELECT doc_id, frame_idx,
+  md5(CASE WHEN frame_idx * step >= length(text) THEN text
+           ELSE substr(text, frame_idx * step + 1, step) END) AS frame_checksum
+FROM f
 """
 
 ORACLE_SQL: dict[str, str] = {
@@ -837,7 +1011,7 @@ minima AS (
          max(i) OVER (PARTITION BY doc_id) AS n
   FROM grams
 )
-SELECT doc_id, list_sort(list(DISTINCT wmin)) AS fps
+SELECT doc_id, array_to_string(list_sort(list(DISTINCT wmin)), ',') AS fps
 FROM minima WHERE i <= n - 3
 GROUP BY doc_id
 """,
@@ -850,4 +1024,19 @@ SELECT doc_id,
   md5(text) AS checksum
 FROM documents
 """,
+    # pipeline oracles: pure-Python reference run (oracle_fixtures.py)
+    # selected/aggregated in SQL — Spark's Arrow batching, projection,
+    # and aggregation plans vs an independent single-threaded execution
+    "extract_transcripts": f"SELECT * FROM read_parquet('{_XT_PATH}')",
+    "extract_documents": f"SELECT * FROM read_parquet('{_XD_PATH}')",
+    "extract_fields": f"SELECT * FROM read_parquet('{_FLD_PATH}')",
+    "transaction_pivot": _transaction_pivot_sql(),
+    # conv_rollup: plain SQL over the same transcripts parquet the
+    # Spark side reads — no Python oracle involved at all
+    "conv_rollup": _conv_rollup_sql(),
+    # multimodal: the deterministic decode stub is sha256/md5-derived,
+    # so the oracle recomputes it natively in SQL
+    "multimodal_features": _multimodal_features_sql(),
+    "multimodal_resize": _multimodal_resize_sql(),
+    "multimodal_frames": _multimodal_frames_sql(),
 }

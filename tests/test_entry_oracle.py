@@ -2,8 +2,11 @@
 entry at sf0.01 and compare against its DuckDB oracle — row count,
 column names, and order-insensitive values.
 
-This is the pre-flight for CORRECTNESS_r{N}.json: if this passes, the
-driver's check passes (same engines, same data, same comparison).
+This is the pre-flight for CORRECTNESS_r{N}.json: same engines, same
+data, same comparison — including the driver canonicalizer's pandas
+``sort_values`` step, which REJECTS unhashable cells (list/array
+columns): a query that would crash the driver's canon crashes here
+too, instead of being masked by a str()-based normalization.
 """
 
 from __future__ import annotations
@@ -12,13 +15,18 @@ import math
 import os
 
 import duckdb
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
-from ocr_spark.queries import ORACLE_SQL, SPARK_QUERIES
+from ocr_spark.queries import SPARK_QUERIES
 from ocr_spark.sources.io import TESTDATA_TABLES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+# materializes the pure-Python oracle parquet fixtures as a side effect
+# (exactly what the driver's oracle_sql() call does)
+ORACLE_SQL = entry_mod.oracle_sql()
 
 
 @pytest.fixture(scope="module")
@@ -33,8 +41,13 @@ def duck():
 
 def _normalize(rows, cols):
     """Sort columns by name, normalize values, sort rows — the
-    order-insensitive comparison shape."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    order-insensitive comparison shape. The pandas sort_values pass
+    replicates the driver's canonicalizer strictness (it factorizes
+    each column, so unhashable cells raise TypeError there)."""
+    order = sorted(cols)
+    pd.DataFrame(list(rows), columns=list(cols))[order].sort_values(order)
+
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm(v):
         if isinstance(v, float):
@@ -45,7 +58,7 @@ def _normalize(rows, cols):
             return "\0NULL"
         return str(v)
 
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
