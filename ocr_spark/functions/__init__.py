@@ -7,6 +7,7 @@ from ocr_spark.functions.text import (
     quality_score,
     stopword_hits,
     token_count,
+    token_estimate,
     tokens,
     word_shingles,
 )
@@ -14,6 +15,7 @@ from ocr_spark.functions.text import (
 __all__ = [
     "tokens",
     "token_count",
+    "token_estimate",
     "char_count",
     "stopword_hits",
     "lang_id",

@@ -145,25 +145,3 @@ def token_estimate(c: Column) -> Column:
     return (n_words + F.floor((extra + 3) / 4).cast("int") + n_punct).alias(
         "token_estimate"
     )
-
-
-def winnow_fingerprints(c: Column, k: int = 8, w: int = 4) -> Column:
-    """DEPRECATED array formulation — kept only as the semantic
-    reference; lambda capture of the outer ``hashes`` array makes
-    Catalyst re-evaluate the full k-gram hash array per window
-    (O(n²) md5 per document). Use
-    ``ocr_spark.operators.dedup.winnow_docs`` (exploded window
-    formulation, linear) for real workloads."""
-    n_grams = F.length(c) - F.lit(k - 1)
-    gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
-        F.array().cast("array<int>")
-    )
-    hashes = F.transform(gram_idx, lambda i: F.md5(F.substring(c, i, k)))
-    n_win = F.size(hashes) - F.lit(w - 1)
-    win_idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
-        F.array().cast("array<int>")
-    )
-    minima = F.transform(
-        win_idx, lambda i: F.array_min(F.slice(hashes, i, w))
-    )
-    return F.array_sort(F.array_distinct(minima))

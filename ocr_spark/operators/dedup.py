@@ -41,22 +41,33 @@ from ocr_spark.functions.text import fingerprint, word_shingles
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
 
-_shingle_cache: list[DataFrame] = []  # at most one entry (see swap)
+_shingle_cache: dict[int, DataFrame] = {}  # ≤1 entry per SparkSession
 
 
 def _swap_shingle_cache(arr: DataFrame) -> DataFrame:
-    """Persist ``arr``, releasing the previous call's cached table.
-    The previous table may belong to an already-stopped SparkSession
-    (bench workers, test flows) — a failed unpersist is ignorable."""
+    """Persist ``arr``, releasing THIS session's previously cached
+    table (keyed per SparkSession so concurrent sessions can't release
+    each other's storage). Within a session, a new call supersedes the
+    old cache — a caller that re-executes the previous call's DataFrame
+    falls back to the uncached plan, it doesn't break. Entries for
+    stopped sessions are pruned best-effort."""
     from pyspark import StorageLevel
 
-    while _shingle_cache:
-        try:
-            _shingle_cache.pop().unpersist(blocking=False)
-        except Exception:
-            pass  # stale session: nothing left to release
+    spark = arr.sparkSession
+    for key in list(_shingle_cache):
+        stale = key == id(spark)
+        if not stale:
+            try:
+                stale = _shingle_cache[key].sparkSession.sparkContext._jsc is None
+            except Exception:
+                stale = True  # session already torn down
+        if stale:
+            try:
+                _shingle_cache.pop(key).unpersist(blocking=False)
+            except Exception:
+                pass  # stopped session: nothing left to release
     arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
-    _shingle_cache.append(arr)
+    _shingle_cache[id(spark)] = arr
     return arr
 
 
@@ -246,14 +257,83 @@ def minhash_lsh_dedup(
 _HEX = "0123456789abcdef"
 
 
+def _simhash_sig(text_col) -> "F.Column":
+    """The 64-bit SimHash signature as ONE scalar Catalyst expression.
+
+    tokens → md5 per token (computed once, inside a ``transform`` that
+    is the first argument of ``aggregate``) → a 64-slot vote array
+    accumulated with ``zip_with`` → hex assembly in the aggregate's
+    *finish* lambda. Everything happens per-row in a single projection:
+    zero shuffles, zero explodes — at 100 TB the signature stage
+    pipelines with the scan, vs. the exploded formulation's 64 shuffled
+    rows per token through two groupBys. The finish lambda is the
+    anti-inlining trick: the vote array is a *bound lambda variable*
+    there, so referencing it 64 times during assembly can't re-evaluate
+    the aggregate (Catalyst's projection collapse would re-run an outer
+    column capture per reference).
+
+    Same algorithm (and values) as ``simhash_exploded`` / the DuckDB
+    oracle: slot i = 4*(hex position) + bit; char digit from per-bit
+    majority vote, tie → 0.
+    """
+    toks = F.array_distinct(F.split(F.trim(text_col), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+
+    def contrib(h, i):
+        k = F.floor(i / 4).cast("int") + 1   # hex position 1..16
+        m = (i % 4).cast("int")              # bit within the hex digit
+        c = F.ascii(F.substring(h, k, F.lit(1)))
+        d = F.when(c >= 97, c - 87).otherwise(c - 48)  # hex char → 0..15
+        bit = F.floor(d / F.pow(F.lit(2), m)).cast("long") % 2
+        return (bit * 2 - 1).cast("int")
+
+    def merge(acc, h):
+        return F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(63)), lambda i: contrib(h, i)),
+            lambda a, c: a + c,
+        )
+
+    def finish(acc):
+        def hex_char(k):
+            dig = (
+                F.when(F.element_at(acc, (k * 4 + 1).cast("int")) > 0, 1).otherwise(0)
+                + F.when(F.element_at(acc, (k * 4 + 2).cast("int")) > 0, 2).otherwise(0)
+                + F.when(F.element_at(acc, (k * 4 + 3).cast("int")) > 0, 4).otherwise(0)
+                + F.when(F.element_at(acc, (k * 4 + 4).cast("int")) > 0, 8).otherwise(0)
+            )
+            return F.substring(F.lit(_HEX), (dig + 1).cast("int"), F.lit(1))
+
+        return F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(15)), hex_char), ""
+        )
+
+    zero = F.array_repeat(F.lit(0), 64)
+    return F.aggregate(hashes, zero, merge, finish)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over distinct tokens, as a 16-hex-char string.
+    """64-bit SimHash per doc as a 16-hex-char string — the scale path:
+    one map-only projection (see ``_simhash_sig``), no shuffle at all.
+    Value-identical to ``simhash_exploded`` (asserted in tests) and to
+    the DuckDB oracle."""
+    return df.select(
+        F.col(id_col).alias("id"), _simhash_sig(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_exploded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exploded-arithmetic SimHash twin (the original formulation).
 
     For each token, h = md5(token)[:16] (64 bits as hex). For each bit,
     tokens vote +1/-1; majority (> 0) sets the bit. Implemented with
     explode over (hex position k, bit m) — pure integer arithmetic, no
     bit intrinsics, so the DuckDB oracle can run the identical algorithm.
-    Tie (sum == 0) → bit 0, deterministic.
+    Tie (sum == 0) → bit 0, deterministic. 64 shuffled rows per token
+    through two groupBys — kept as the cross-check twin; ``simhash`` is
+    the scale path.
     """
     toks = df.select(
         F.col(id_col).alias("id"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ocr_spark.plans.session import ensure_utc
 from ocr_spark.sources.io import load_table
 
 
@@ -54,7 +55,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped join+agg+topk: customer filter broadcast into
     orders⋈lineitem; revenue decimal-exact; top 10 deterministic."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
+    ensure_utc(spark)  # driver-session guard (plans/session.py)
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -141,7 +142,7 @@ def argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 max-over-dates per user; timestamp out as string."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
+    ensure_utc(spark)  # driver-session guard (plans/session.py)
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
@@ -183,13 +184,34 @@ def progress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def paginate_events(spark: SparkSession, sf_dir: str, page: int = 11, size: int = 10) -> DataFrame:
-    """J4 pagination via row_number over a total order."""
+    """J4 pagination via row_number over a total order.
+
+    REPORT-ONLY operator: the unpartitioned window forces the whole
+    table through one task — fine for a bounded report, wrong as an API
+    at scale. The scale path is ``paginate_events_keyset`` below."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.orderBy(F.col("event_id").asc())
     lo, hi = (page - 1) * size, page * size
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def paginate_events_keyset(
+    spark: SparkSession, sf_dir: str, after_key: int = 100, size: int = 10
+) -> DataFrame:
+    """J4 pagination, keyset form — the scale path: ``WHERE key >
+    last_seen ORDER BY key LIMIT n``. The predicate pushes down to the
+    scan and orderBy+limit plans as TakeOrderedAndProject (per-partition
+    top-k, merged on the driver) — no global sort, no single-task
+    window, at any table size."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") > after_key)
+        .orderBy(F.col("event_id").asc())
+        .limit(size)
         .select("event_id", "user_id", "event_type")
     )
 
@@ -301,7 +323,7 @@ def multi_pass_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/F11 date ops: month bucketing + decimal-exact totals."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
+    ensure_utc(spark)  # driver-session guard (plans/session.py)
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
@@ -372,7 +394,7 @@ def sessionize_events(
     # microsecond-precision epoch on BOTH sides (DuckDB twin uses
     # epoch_us): whole-second truncation would disagree with the
     # oracle for gaps within 1s of the boundary
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_utc(spark)
     epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gapped = ev.withColumn(

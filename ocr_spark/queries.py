@@ -45,6 +45,7 @@ from ocr_spark.functions.text import (
     token_estimate,
 )
 from ocr_spark.operators import relational as R
+from ocr_spark.plans.session import ensure_utc
 from ocr_spark.operators import similarity as S
 from ocr_spark.operators.dedup import (
     dedup_exact,
@@ -154,7 +155,7 @@ def q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
+    ensure_utc(spark)  # driver-session guard (plans/session.py)
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
@@ -312,6 +313,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_type_pivot": R.event_type_pivot,
     "progress_ratio": R.progress_ratio,
     "paginate_events": R.paginate_events,
+    "paginate_events_keyset": R.paginate_events_keyset,
     "distinct_user_types": R.distinct_user_types,
     "events_per_day": q_events_per_day,
     "props_sum": q_props_sum,
@@ -768,6 +770,11 @@ WITH r AS (
   FROM events
 )
 SELECT event_id, user_id, event_type FROM r WHERE rn > 100 AND rn <= 110
+""",
+    "paginate_events_keyset": """
+SELECT event_id, user_id, event_type
+FROM events WHERE event_id > 100
+ORDER BY event_id ASC LIMIT 10
 """,
     "distinct_user_types": """
 SELECT DISTINCT user_id, event_type FROM events

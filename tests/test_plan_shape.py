@@ -110,3 +110,36 @@ def test_partitioned_output_prunes(spark, transcripts_path, tmp_path):
     kinds = [d for d in os.listdir(out) if d.startswith("kind=")]
     assert len(kinds) >= 2  # actually partitioned on disk
     assert back.count() > 0
+
+
+def test_simhash_native_zero_shuffle_equals_exploded(spark):
+    """The scale-path SimHash is a single map-only projection (no
+    Exchange, no Generate/explode) and is value-identical to the
+    exploded-arithmetic twin the DuckDB oracle mirrors."""
+    import re
+
+    from ocr_spark.operators.dedup import simhash, simhash_exploded
+    from ocr_spark.plans.checks import count_exchanges, physical_plan
+    from ocr_spark.sources.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    nat = simhash(d)
+    assert count_exchanges(nat) == 0
+    assert not re.search(r"\bGenerate\b", physical_plan(nat))
+    a = {r["id"]: r["simhash"] for r in nat.collect()}
+    b = {r["id"]: r["simhash"] for r in simhash_exploded(d).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_keyset_pagination_no_global_sort(spark):
+    """The keyset page plans as TakeOrderedAndProject (per-partition
+    top-k) with the key predicate pushed to the scan — no Exchange, no
+    single-partition window sort."""
+    from ocr_spark.operators.relational import paginate_events_keyset
+    from ocr_spark.plans.checks import count_exchanges, physical_plan
+
+    df = paginate_events_keyset(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(df) == 0
+    assert "PushedFilters: [" in plan and "GreaterThan(event_id" in plan
