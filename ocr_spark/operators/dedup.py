@@ -279,20 +279,30 @@ def _simhash_sig(text_col) -> "F.Column":
     toks = F.array_distinct(F.split(F.trim(text_col), r"\s+"))
     hashes = F.transform(toks, lambda t: F.md5(t))
 
-    def contrib(h, i):
-        k = F.floor(i / 4).cast("int") + 1   # hex position 1..16
-        m = (i % 4).cast("int")              # bit within the hex digit
+    def digit_at(h, k):
+        """hex char at 1-based position k → its 0..15 value."""
         c = F.ascii(F.substring(h, k, F.lit(1)))
-        d = F.when(c >= 97, c - 87).otherwise(c - 48)  # hex char → 0..15
-        bit = F.floor(d / F.pow(F.lit(2), m)).cast("long") % 2
-        return (bit * 2 - 1).cast("int")
+        return (F.when(c >= 97, c - 87).otherwise(c - 48)).cast("int")
+
+    def contribs(h):
+        """64 ±1 bit votes for one token hash. Two-level transform so
+        each hex digit is decoded ONCE (as a bound lambda value) and
+        expanded to its 4 bit votes — higher-order lambdas are
+        interpreted, so per-element op count is the constant factor."""
+        digits = F.transform(
+            F.sequence(F.lit(1), F.lit(16)), lambda k: digit_at(h, k)
+        )
+        return F.flatten(
+            F.transform(
+                digits,
+                lambda d: F.array(
+                    *[(F.shiftright(d, m) % 2 * 2 - 1).cast("int") for m in range(4)]
+                ),
+            )
+        )
 
     def merge(acc, h):
-        return F.zip_with(
-            acc,
-            F.transform(F.sequence(F.lit(0), F.lit(63)), lambda i: contrib(h, i)),
-            lambda a, c: a + c,
-        )
+        return F.zip_with(acc, contribs(h), lambda a, c: a + c)
 
     def finish(acc):
         def hex_char(k):
@@ -367,6 +377,62 @@ def simhash_exploded(
             ),
             "",
         ).alias("simhash")
+    )
+
+
+def duplicate_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components over the pair graph, component label = min doc id.
+
+    A corpus dedup pipeline needs clusters, not pairs — "keep one doc
+    per duplicate set" is a per-component decision (the keeper here is
+    the min id, same rule as ``dedup_exact``). Iterative min-label
+    propagation: each round joins labels across edges and takes the
+    per-node min; rounds needed = graph diameter, and LSH near-dup
+    components are clique-dense (diameter 2-3 in practice).  Each round
+    is one shuffle on id; ``localCheckpoint`` truncates the growing
+    lineage so round N's plan doesn't replay rounds 1..N-1.  At larger
+    diameters the public large-star/small-star formulation (Kiveris et
+    al., "Connected Components in MapReduce", 2014) halves round count;
+    this direct propagation is the readable baseline and converges with
+    a driver-side changed-row check.
+
+    Output: (doc_id, component, is_keeper) for EVERY input doc —
+    singletons label themselves.
+    """
+    nodes = df.select(F.col(id_col).alias("id"))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint(eager=True)  # pairs plan (LSH) computed once
+    )
+    labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "comp")
+        new_labels = (
+            labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_keeper"),
     )
 
 

@@ -114,6 +114,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: LSH near-dup pairs → connected
+    components (min-label propagation) → per-doc keeper decision."""
+    from ocr_spark.operators.dedup import duplicate_components
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_components(docs, minhash_lsh_dedup(docs, threshold=0.5))
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_emb(spark, sf_dir), n_queries=10, k=3)
 
@@ -339,6 +348,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_docs": q_simhash,
+    "dedup_components": q_dedup_components,
     # similarity search
     "knn_topk": q_knn,
     "embedding_neardup": q_emb_neardup,
@@ -963,6 +973,24 @@ pairs AS (
 """,
     "minhash_lsh": _minhash_sql(),
     "simhash_docs": _simhash_sql(),
+    # duplicate clusters: reachability closure over the same LSH pair
+    # graph (recursive CTE; UNION-dedup terminates it), component =
+    # min reachable id — identical semantics to the Spark min-label
+    # propagation loop
+    "dedup_components": f"""
+WITH RECURSIVE
+mp AS (SELECT id_a, id_b FROM ({_minhash_sql()})),
+edges AS (SELECT id_a AS src, id_b AS dst FROM mp
+          UNION SELECT id_b, id_a FROM mp),
+reach AS (
+  SELECT doc_id AS id, doc_id AS root FROM documents
+  UNION
+  SELECT e.dst AS id, r.root AS root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS component,
+       id = min(root) AS is_keeper
+FROM reach GROUP BY id
+""",
     "knn_topk": f"""
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10

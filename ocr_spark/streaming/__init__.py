@@ -5,5 +5,11 @@ from ocr_spark.streaming.extract_stream import (
     streaming_extract,
     windowed_turn_counts,
 )
+from ocr_spark.streaming.stateful import conv_progress_stream
 
-__all__ = ["streaming_extract", "windowed_turn_counts", "run_stream_once"]
+__all__ = [
+    "streaming_extract",
+    "windowed_turn_counts",
+    "run_stream_once",
+    "conv_progress_stream",
+]

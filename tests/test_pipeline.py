@@ -313,3 +313,26 @@ def test_transaction_pivot_weighbridge_slotting(spark):
     # first-wins columns still behave: category = first in turn order
     assert c1["category"] == "Weighbridge"
     assert c1["invoice_no"] == "INV-1"
+
+
+def test_duplicate_components_resolves_clusters(spark):
+    """Min-label propagation: chains collapse to one component, the
+    keeper is the min id, and singletons label themselves."""
+    from ocr_spark.operators.dedup import duplicate_components
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 6, 7)], "doc_id long"
+    )
+    # a 3-chain (1-2, 2-3), a pair (5-6), and singleton 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in duplicate_components(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        5: (5, True), 6: (5, False),
+        7: (7, True),
+    }

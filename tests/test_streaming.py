@@ -70,3 +70,48 @@ def test_windowed_turn_counts(spark, transcripts_path, tmp_path):
         .count()
     )
     assert spark.sql("SELECT count(*) AS c FROM wincounts").collect()[0]["c"] == batch
+
+
+def test_stateful_conv_progress(spark, transcripts_path, tmp_path):
+    """applyInPandasWithState: running per-conversation totals carried
+    across microbatches; the final update per conv equals the batch
+    rollup regardless of how the input was split into batches."""
+    from ocr_spark.job import ensure_package_shipped
+    from ocr_spark.streaming import conv_progress_stream
+
+    ensure_package_shipped(spark)
+    src = _split_input(spark, transcripts_path, str(tmp_path / "src3"), n_files=5)
+    q = (
+        conv_progress_stream(spark, src, max_files_per_trigger=2)
+        .writeStream.format("memory")
+        .queryName("convprogress")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per conv per touching batch; the final
+    # state is the row with the max n_turns per conv
+    final = {
+        r["conv_id"]: (r["n_turns"], r["total_chars"], r["max_turn_idx"])
+        for r in spark.sql(
+            """
+            SELECT conv_id, n_turns, total_chars, max_turn_idx FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY conv_id ORDER BY n_turns DESC) AS rn
+              FROM convprogress) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r["conv_id"]: (r["n_turns"], r["total_chars"], r["max_turn_idx"])
+        for r in spark.read.parquet(src)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .collect()
+    }
+    assert final == batch
