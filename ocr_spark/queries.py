@@ -114,6 +114,35 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data cleaning chain composed end-to-end:
+    language gate + quality gate + exact-dup keeper, in ONE pass.
+
+    Plan shape: a single projection computes lang/quality/fingerprint
+    per doc, the keeper is a window-min over the fingerprint (one
+    shuffle total), and both gates are plain predicates — no second
+    aggregation or join. At 100 TB this is scan + one exchange."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("pred_lang"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        scored.withColumn("keeper", keeper)
+        .filter(
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.col("pred_lang") == "en")
+            & (F.col("quality") >= 0.7)
+        )
+        .select("doc_id", "pred_lang", "quality")
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: LSH near-dup pairs → connected
     components (min-label propagation) → per-doc keeper decision."""
@@ -349,6 +378,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash_docs": q_simhash,
     "dedup_components": q_dedup_components,
+    "corpus_filter": q_corpus_filter,
     # similarity search
     "knn_topk": q_knn,
     "embedding_neardup": q_emb_neardup,
@@ -573,7 +603,7 @@ _XD_PATH = oracle_path(docextract_oracle_name(ORACLE_SF_DIR))
 _FLD_PATH = oracle_path(fields_oracle_name(ORACLE_SF))
 
 
-def _transcripts_fixture_sql_path() -> str:
+def _transcripts_fixture_sql_path(sf: float = ORACLE_SF) -> str:
     """The transcripts fixture parquet path for the oracle sf tier
     (same file the Spark side reads — conv_rollup's oracle is plain
     SQL over it, no Python oracle involved)."""
@@ -581,11 +611,29 @@ def _transcripts_fixture_sql_path() -> str:
 
     return os.path.join(
         tempfile.gettempdir(),
-        f"ocr_spark_transcripts_v{FIXTURE_VERSION}_sf{ORACLE_SF}.parquet",
+        f"ocr_spark_transcripts_v{FIXTURE_VERSION}_sf{sf}.parquet",
     )
 
 
-def _transaction_pivot_sql() -> str:
+def pipeline_oracle_overrides(sf: float, sf_dir: str) -> dict[str, str]:
+    """The sf-dependent oracle entries re-targeted at another scale
+    tier (the driver contract is pinned at sf0.01 — this exists so the
+    in-repo suite can re-verify the same parity at sf0.1, 10× scale;
+    caller must run oracle_fixtures.ensure_oracle_fixtures(sf, sf_dir)
+    first)."""
+    xt = oracle_path(extract_oracle_name(sf))
+    xd = oracle_path(docextract_oracle_name(sf_dir))
+    fld = oracle_path(fields_oracle_name(sf))
+    return {
+        "extract_transcripts": f"SELECT * FROM read_parquet('{xt}')",
+        "extract_documents": f"SELECT * FROM read_parquet('{xd}')",
+        "extract_fields": f"SELECT * FROM read_parquet('{fld}')",
+        "transaction_pivot": _transaction_pivot_sql(fld),
+        "conv_rollup": _conv_rollup_sql(_transcripts_fixture_sql_path(sf)),
+    }
+
+
+def _transaction_pivot_sql(fields_path: str | None = None) -> str:
     value_fields = [f for f in FIELD_NAMES if f != "category"]
     firsts = ",\n  ".join(
         f"first({f} ORDER BY turn_idx) FILTER (WHERE {f} IS NOT NULL) AS {f}"
@@ -598,7 +646,7 @@ def _transaction_pivot_sql() -> str:
         for c in WEIGHBRIDGE_SLOT_FIELDS
     )
     return f"""
-WITH f AS (SELECT * FROM read_parquet('{_FLD_PATH}')),
+WITH f AS (SELECT * FROM read_parquet('{fields_path or _FLD_PATH}')),
 staged AS (
   SELECT *, sum(CASE WHEN category = 'Weighbridge' THEN 1 ELSE 0 END) OVER (
       PARTITION BY conv_id ORDER BY turn_idx
@@ -615,7 +663,7 @@ FROM staged GROUP BY conv_id
 """
 
 
-def _conv_rollup_sql() -> str:
+def _conv_rollup_sql(transcripts_path: str | None = None) -> str:
     return f"""
 SELECT conv_id,
   CAST(count(*) AS INTEGER) AS n_turns,
@@ -625,7 +673,7 @@ SELECT conv_id,
   arg_min(role, turn_idx) AS first_role,
   arg_max(role, turn_idx) AS last_role,
   CAST(sum(length(text)) AS BIGINT) AS total_chars
-FROM read_parquet('{_transcripts_fixture_sql_path()}')
+FROM read_parquet('{transcripts_path or _transcripts_fixture_sql_path()}')
 GROUP BY conv_id
 """
 
@@ -957,6 +1005,19 @@ FROM t
 """,
     "lang_id_docs": _lang_id_sql(),
     "quality_score_docs": _quality_sql(),
+    # cleaning chain: same lang/quality/fingerprint expressions
+    # composed as CTEs + a window-min keeper, gates as predicates
+    "corpus_filter": f"""
+WITH l AS ({_lang_id_sql()}),
+q AS ({_quality_sql()}),
+f AS (SELECT doc_id, {_FP_SQL} AS fp FROM documents),
+k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
+SELECT l.doc_id, l.pred_lang, q.quality
+FROM l
+JOIN q USING (doc_id)
+JOIN k USING (doc_id)
+WHERE k.keeper = l.doc_id AND l.pred_lang = 'en' AND q.quality >= 0.7
+""",
     "fingerprint_docs": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
     "dedup_exact_docs": f"""
 SELECT {_FP_SQL} AS fp, min(doc_id) AS keeper, count(*) AS n_dups

@@ -28,6 +28,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 # (exactly what the driver's oracle_sql() call does)
 ORACLE_SQL = entry_mod.oracle_sql()
 
+if SF_DIR.rstrip("/") != "/root/testdata/sf0.01":
+    # re-target the sf-dependent pipeline oracles at the requested
+    # tier (e.g. SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 for a
+    # 10×-scale re-verification of the same parity)
+    from ocr_spark.oracle_fixtures import ensure_oracle_fixtures
+    from ocr_spark.queries import _sf_of, pipeline_oracle_overrides
+
+    _sf = _sf_of(SF_DIR)
+    ensure_oracle_fixtures(_sf, SF_DIR)
+    ORACLE_SQL = {**ORACLE_SQL, **pipeline_oracle_overrides(_sf, SF_DIR)}
+
 
 @pytest.fixture(scope="module")
 def duck():

@@ -143,3 +143,26 @@ def test_keyset_pagination_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert count_exchanges(df) == 0
     assert "PushedFilters: [" in plan and "GreaterThan(event_id" in plan
+
+
+def test_transaction_pivot_single_shuffle(spark):
+    """The weighbridge-slotting window and the conv groupBy share the
+    conv_id hash partitioning — the whole pivot is one Exchange."""
+    from ocr_spark.core.fields import FIELD_NAMES
+    from ocr_spark.operators.conversation import transaction_pivot
+    from ocr_spark.plans.checks import count_exchanges
+
+    schema = ", ".join(
+        ["conv_id string", "turn_idx int"] + [f"{k} string" for k in FIELD_NAMES]
+    )
+    df = spark.createDataFrame([], schema=schema)
+    assert count_exchanges(transaction_pivot(df)) == 1
+
+
+def test_corpus_filter_single_shuffle(spark):
+    """The cleaning chain (lang + quality + dedup keeper) is scan +
+    one Exchange (the fingerprint window); gates stay predicates."""
+    from ocr_spark.plans.checks import count_exchanges
+    from ocr_spark.queries import q_corpus_filter
+
+    assert count_exchanges(q_corpus_filter(spark, "/root/testdata/sf0.001")) == 1
