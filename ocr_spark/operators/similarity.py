@@ -185,6 +185,92 @@ def label_centroid_count(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     )
 
 
+def l2_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Squared-L2 chain in SQL (1-indexed), same fold order as Spark."""
+    return " + ".join(
+        f"pow(CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE), 2)"
+        for i in range(dim)
+    )
+
+
+def ivf_topk_seeded(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF top-k with SEEDED centroids: the coarse quantizer's
+    centroids are the first ``n_cells`` vectors themselves (no Lloyd
+    iterations) — a standard cheap IVF variant whose every step is a
+    deterministic closed-form expression, so the DuckDB oracle can run
+    the identical algorithm end-to-end (the k-means variant
+    ``ivf_topk`` stays rows-only + recall-gated: MLlib isn't SQL).
+
+    Scale shape: centroids are collected driver-side (n_cells×dim
+    floats — metadata at any corpus scale, exactly like a deployed IVF
+    index) and baked into the assignment expression, so cell
+    assignment is a map-only pass over the corpus with NO shuffle; the
+    candidate join is an equi-join on cell id bounded by probe volume.
+    Ties everywhere break on the lower cell / vec_id.
+    """
+    from pyspark.sql import Window
+
+    seeds = (
+        emb.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+
+    def dist_exprs(col: str) -> list[Column]:
+        return [
+            F.expr(
+                " + ".join(
+                    f"pow(CAST({col}[{i}] AS DOUBLE) - CAST({c[i]!r} AS DOUBLE), 2)"
+                    for i in range(dim)
+                )
+            )
+            for c in cents
+        ]
+
+    darr = F.array(*dist_exprs("embedding"))
+    # first occurrence of the min = lowest cell id on ties
+    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
+
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cells = queries.select(
+        "q_id", "q_emb", F.posexplode(F.array(*dist_exprs("q_emb"))).alias("cell", "dist")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+    probed = (
+        q_cells.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "q_emb", "cell")
+    )
+
+    cand = probed.join(assigned, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.withColumn(
+        "sim",
+        F.round(
+            dot_expr("q_emb", "embedding", dim)
+            / (norm_expr("q_emb", dim) * norm_expr("embedding", dim)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", "rank")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,

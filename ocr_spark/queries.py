@@ -171,6 +171,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_emb(spark, sf_dir), n_queries=10, k=3, n_probe=6)
 
 
+def q_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-centroid IVF — deterministic closed-form quantizer, so
+    the DuckDB oracle runs the identical algorithm (unlike the MLlib
+    k-means variant, which stays rows-only + recall-gated)."""
+    return S.ivf_topk_seeded(_emb(spark, sf_dir), n_queries=10, k=3, n_probe=4)
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroid_count(_emb(spark, sf_dir))
 
@@ -385,6 +392,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": q_emb_neardup_lsh,
     "label_centroids": q_label_centroids,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_seeded": q_ivf_topk_seeded,
     # multimodal
     "media_meta": q_media_meta,
     # extraction engine (rows-only; exact-equality gate lives in tests/)
@@ -1086,6 +1094,50 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM wb a JOIN wb b USING (bucket)
 WHERE a.vec_id < b.vec_id
   AND round(({_DOT_AB}) / (({_NORM_A}) * ({_NORM_B})), 6) >= 0.3
+""",
+    # seeded IVF: identical algorithm both engines (cell = argmin over
+    # the first-16-vector centroids, same fold order; probe 4 cells)
+    "ivf_topk_seeded": f"""
+WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < 16
+),
+d AS (
+  SELECT e.vec_id, e.embedding, s.cell,
+         {S.l2_sql("e.embedding", "s.c_emb")} AS dist
+  FROM embeddings e CROSS JOIN seeds s
+),
+a AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+    FROM d) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+qd AS (
+  SELECT q.q_id, q.q_emb, s.cell,
+         {S.l2_sql("q.q_emb", "s.c_emb")} AS dist
+  FROM q CROSS JOIN seeds s
+),
+probed AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, cell ASC) AS rn
+    FROM qd) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.q_id, p.q_emb, a.vec_id, a.embedding
+  FROM probed p JOIN a USING (cell) WHERE a.vec_id != p.q_id
+),
+sc AS (
+  SELECT q_id, vec_id,
+         round(({S.dot_sql("q_emb", "embedding")})
+               / (({S.norm_sql("q_emb")}) * ({S.norm_sql("embedding")})), 6) AS sim
+  FROM cand
+),
+r AS (
+  SELECT q_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 3
 """,
     "label_centroids": """
 SELECT label, count(*) AS n,
