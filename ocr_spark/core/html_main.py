@@ -79,22 +79,14 @@ class Block(NamedTuple):
         )
 
 
-class _MainContentParser(HTMLParser):
-    """Single forward pass; accumulates text chunks between block edges."""
+class _BlockBuilder:
+    """The block-segmentation/scoring state machine, parser-agnostic:
+    driven by (tag, data-with-offsets) events from either the stdlib
+    ``HTMLParser`` adapter (the behavioral reference) or the fast
+    regex tokenizer below. One implementation of the semantics, two
+    event sources — equality asserted corpus-wide in tests."""
 
-    def __init__(self, raw: str):
-        # convert_charrefs=False so entity/charref callbacks fire with
-        # their own positions — needed for exact raw spans.
-        super().__init__(convert_charrefs=False)
-        self._raw = raw
-        # absolute offset of the start of each physical line ('\n'-split,
-        # matching HTMLParser's internal line counting); str.find keeps
-        # the scan C-side (O(lines) python iterations, not O(chars))
-        self._line_starts = [0]
-        pos = raw.find("\n")
-        while pos != -1:
-            self._line_starts.append(pos + 1)
-            pos = raw.find("\n", pos + 1)
+    def __init__(self) -> None:
         self._skip_depth = 0
         self._boiler_depth = 0
         self._link_depth = 0
@@ -102,11 +94,6 @@ class _MainContentParser(HTMLParser):
         self._block_boiler = False
         self._block_link_chars = 0
         self.blocks: list[Block] = []
-
-    # -- offset helpers -------------------------------------------------
-    def _abs_pos(self) -> int:
-        line, col = self.getpos()
-        return self._line_starts[line - 1] + col
 
     # -- block lifecycle ------------------------------------------------
     def _flush(self) -> None:
@@ -147,8 +134,8 @@ class _MainContentParser(HTMLParser):
         if self._link_depth > 0:
             self._block_link_chars += len(collapse_all_ws(decoded))
 
-    # -- parser callbacks -------------------------------------------------
-    def handle_starttag(self, tag, attrs):
+    # -- tag events ------------------------------------------------------
+    def on_start(self, tag: str) -> None:
         if tag in _BLOCK_TAGS:
             self._flush()
         if tag in _SKIP_TAGS:
@@ -159,7 +146,7 @@ class _MainContentParser(HTMLParser):
         if tag == "a":
             self._link_depth += 1
 
-    def handle_endtag(self, tag):
+    def on_end(self, tag: str) -> None:
         if tag in _BLOCK_TAGS:
             self._flush()
         if tag in _SKIP_TAGS and self._skip_depth > 0:
@@ -170,58 +157,328 @@ class _MainContentParser(HTMLParser):
         if tag == "a" and self._link_depth > 0:
             self._link_depth -= 1
 
-    def handle_startendtag(self, tag, attrs):
+    def on_startend(self, tag: str) -> None:
         if tag in _BLOCK_TAGS:
             self._flush()
 
+    def finish(self) -> None:
+        self._flush()
+
+
+def _decode_charref(name: str) -> str:
+    """'&#NNN'/'&#xHH' numeric reference name → character ('' if out of
+    range or a surrogate — chr(0xD800-0xDFFF) would crash utf-8
+    encoding downstream, violating extract_turn's never-raises
+    contract)."""
+    try:
+        cp = int(name[1:], 16) if name[0] in "xX" else int(name)
+        if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+    except ValueError:
+        pass
+    return ""
+
+
+class _MainContentParser(HTMLParser):
+    """stdlib-parser event source: the behavioral REFERENCE twin for
+    the fast tokenizer (``html.parser``'s per-tag machinery dominates
+    the extraction profile, so the hot path is ``_scan`` below; this
+    twin stays for the corpus-wide equality test)."""
+
+    def __init__(self, raw: str):
+        # convert_charrefs=False so entity/charref callbacks fire with
+        # their own positions — needed for exact raw spans.
+        super().__init__(convert_charrefs=False)
+        self._raw = raw
+        # absolute offset of the start of each physical line ('\n'-split,
+        # matching HTMLParser's internal line counting); str.find keeps
+        # the scan C-side (O(lines) python iterations, not O(chars))
+        self._line_starts = [0]
+        pos = raw.find("\n")
+        while pos != -1:
+            self._line_starts.append(pos + 1)
+            pos = raw.find("\n", pos + 1)
+        self.builder = _BlockBuilder()
+
+    def _abs_pos(self) -> int:
+        line, col = self.getpos()
+        return self._line_starts[line - 1] + col
+
+    def handle_starttag(self, tag, attrs):
+        self.builder.on_start(tag)
+
+    def handle_endtag(self, tag):
+        self.builder.on_end(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        self.builder.on_startend(tag)
+
     def handle_data(self, data):
         start = self._abs_pos()
-        self._add_chunk(start, start + len(data), data)
+        self.builder._add_chunk(start, start + len(data), data)
 
     def handle_entityref(self, name):
         start = self._abs_pos()
         end = start + len(name) + 1  # '&' + name
         if end < len(self._raw) and self._raw[end] == ";":
             end += 1
-        self._add_chunk(start, end, _html.unescape(f"&{name};"))
+        self.builder._add_chunk(start, end, _html.unescape(f"&{name};"))
 
     def handle_charref(self, name):
         start = self._abs_pos()
         end = start + len(name) + 2  # '&#' + name
         if end < len(self._raw) and self._raw[end] == ";":
             end += 1
-        try:
-            cp = int(name[1:], 16) if name[0] in "xX" else int(name)
-            # exclude the surrogate range: chr(0xD800-0xDFFF) would
-            # produce a str that crashes utf-8 encoding downstream
-            # (violating extract_turn's never-raises contract)
-            if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
-                decoded = chr(cp)
-            else:
-                decoded = ""
-        except ValueError:
-            decoded = ""
-        self._add_chunk(start, end, decoded)
+        self.builder._add_chunk(start, end, _decode_charref(name))
 
     def handle_comment(self, data):  # comments are never content
         pass
 
     def close(self):
         super().close()
-        self._flush()
+        self.builder.finish()
+
+
+# -- fast tokenizer ---------------------------------------------------------
+# Replicates the stdlib parser's event stream (feed-once + close) with
+# direct regex scanning and native absolute offsets: no per-tag method
+# dispatch, no line/col bookkeeping, no attribute parsing. Behavioral
+# parity with _MainContentParser is asserted corpus-wide in
+# tests/test_core.py::test_fast_html_equals_stdlib_parser.
+
+_TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")  # tagfind_tolerant
+# CPython html.parser's locatestarttagend_tolerant, verbatim (stdlib,
+# PSF-licensed) — using the exact same pattern is what makes the fast
+# path byte-equivalent to the stdlib twin on malformed attributes
+# (quoted values are opaque only AFTER '=', a bare quote ends the tag
+# region, etc.)
+_LOCATE_STARTTAG_RE = re.compile(
+    r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+        )
+        (?:\s*,)*                    # possibly followed by a comma
+      )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+    re.VERBOSE,
+)
+_TAG_END_LETTERS = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ENDTAG_STRICT_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_CHARREF_RE = re.compile(r"&#([0-9]+|[xX][0-9a-fA-F]+)(?=[^0-9a-fA-F])")
+_ENTITYREF_RE = re.compile(r"&([a-zA-Z][-.a-zA-Z0-9]*)(?=[^a-zA-Z0-9])")
+_DATA_BOUNDARY_RE = re.compile(r"[&<]")
+_CDATA_END = {"script": re.compile(r"</\s*script", re.IGNORECASE),
+              "style": re.compile(r"</\s*style", re.IGNORECASE)}
+
+
+def _scan(raw: str, b: _BlockBuilder) -> None:
+    """Drive the builder over ``raw`` with html.parser-equivalent
+    events. Data chunks split at every '&'/'<' like the stdlib parser
+    (chunk boundaries matter: per-chunk whitespace collapapse feeds the
+    link-density score)."""
+    n = len(raw)
+    i = 0
+    add = b._add_chunk
+    while i < n:
+        m = _DATA_BOUNDARY_RE.search(raw, i)
+        j = m.start() if m else n
+        if i < j:
+            add(i, j, raw[i:j])
+            i = j
+        if i >= n:
+            break
+        ch = raw[i]
+        nxt1 = raw[i + 1] if i + 1 < n else ""
+        c2 = ch + nxt1
+        if ch == "<":
+            if nxt1 and (nxt1.isascii() and nxt1.isalpha()):
+                # start tag — mirror check_for_whole_start_tag +
+                # parse_starttag exactly
+                tm = _TAGNAME_RE.match(raw, i + 1)
+                te = tm.end()
+                if te < n and raw[te] == ">":
+                    # attribute-free fast path (identical to the
+                    # locate-regex result for this shape)
+                    tag = tm.group(0).lower()
+                    b.on_start(tag)
+                    cd = _CDATA_END.get(tag)
+                    if cd is not None:
+                        em = cd.search(raw, te + 1)
+                        if em is None:
+                            b.finish()
+                            return
+                        add(te + 1, em.start(), raw[te + 1 : em.start()])
+                        i = em.start()
+                        continue
+                    i = te + 1
+                    continue
+                lm = _LOCATE_STARTTAG_RE.match(raw, i)
+                j = lm.end()
+                nxt = raw[j : j + 1]
+                endpos = -1
+                if nxt == ">":
+                    endpos = j + 1
+                elif nxt == "/" and raw.startswith("/>", j):
+                    endpos = j + 2
+                elif nxt == "" or nxt in _TAG_END_LETTERS or nxt == "/":
+                    endpos = -1  # incomplete at buffer end (stdlib -1)
+                else:
+                    endpos = j if j > i else i + 1
+                if endpos < 0:
+                    # stdlib close() fallback: data to next '>'
+                    # (inclusive), else next '<', else one char
+                    k = raw.find(">", i + 1)
+                    if k >= 0:
+                        k += 1
+                    else:
+                        k = raw.find("<", i + 1)
+                        if k < 0:
+                            k = i + 1
+                    add(i, k, raw[i:k])
+                    i = k
+                    continue
+                tail = raw[j:endpos].strip()
+                if tail not in (">", "/>"):
+                    # junk before tag end: the whole region is data
+                    add(i, endpos, raw[i:endpos])
+                    i = endpos
+                    continue
+                tag = tm.group(0).lower()
+                if tail == "/>":
+                    b.on_startend(tag)
+                else:
+                    b.on_start(tag)
+                    cd = _CDATA_END.get(tag)
+                    if cd is not None:
+                        # raw-text element: content until the matching
+                        # close pattern; unclosed → the rest is
+                        # silently dropped (stdlib parity)
+                        em = cd.search(raw, endpos)
+                        if em is None:
+                            b.finish()
+                            return
+                        add(endpos, em.start(), raw[endpos : em.start()])
+                        i = em.start()
+                        continue
+                i = endpos
+            elif c2 == "</":
+                em = _ENDTAG_STRICT_RE.match(raw, i)
+                if em:
+                    b.on_end(em.group(1).lower())
+                    i = em.end()
+                elif raw[i : i + 3] == "</>":
+                    i += 3  # stdlib: consumed, no event
+                elif i + 2 < n and (raw[i + 2].isascii() and raw[i + 2].isalpha()):
+                    # tolerant end tag: name then junk until '>'
+                    tm = _TAGNAME_RE.match(raw, i + 2)
+                    gt = raw.find(">", tm.end())
+                    if gt < 0:
+                        add(i, n, raw[i:n])
+                        b.finish()
+                        return
+                    b.on_end(tm.group(0).lower())
+                    i = gt + 1
+                else:
+                    # bogus comment '</ junk>': no event, eat to '>'
+                    gt = raw.find(">", i + 2)
+                    if gt < 0:
+                        add(i, n, raw[i:n])
+                        b.finish()
+                        return
+                    i = gt + 1
+            elif raw[i : i + 4] == "<!--":
+                cm = raw.find("-->", i + 4)
+                if cm < 0:
+                    # unterminated comment: stdlib close() fallback
+                    k = raw.find(">", i + 1)
+                    if k >= 0:
+                        k += 1
+                    else:
+                        k = i + 1
+                    add(i, k, raw[i:k])
+                    i = k
+                else:
+                    i = cm + 3
+            elif c2 in ("<?", "<!"):
+                gt = raw.find(">", i + 2)
+                if gt < 0:
+                    add(i, n, raw[i:n])
+                    b.finish()
+                    return
+                i = gt + 1  # pi / declaration: no content event
+            elif i + 1 < n:
+                add(i, i + 1, "<")
+                i += 1
+            else:
+                add(i, n, "<")  # stdlib close(): trailing '<' is data
+                break
+        elif c2 == "&#":
+            cm = _CHARREF_RE.match(raw, i)
+            if cm:
+                k = cm.end()
+                end = k + 1 if raw[k] == ";" else k
+                add(i, end, _decode_charref(cm.group(1)))
+                i = end
+            elif ";" in raw[i:]:
+                add(i, i + 2, "&#")  # stdlib bail: '&#' as data
+                i += 2
+            else:
+                add(i, n, raw[i:n])  # rest of the doc becomes data
+                b.finish()
+                return
+        else:  # '&'
+            em = _ENTITYREF_RE.match(raw, i)
+            if em:
+                k = em.end()
+                end = k + 1 if raw[k] == ";" else k
+                add(i, end, _html.unescape(f"&{em.group(1)};"))
+                i = end
+            elif i + 1 < n and (raw[i + 1].isascii() and raw[i + 1].isalpha()):
+                # incomplete entity at EOF (stdlib close() quirks)
+                if n - i == 2:
+                    add(i + 1, n, raw[i + 1 :])  # '&' dropped
+                else:
+                    add(i, n, raw[i:n])
+                b.finish()
+                return
+            else:
+                add(i, i + 1, "&")
+                i += 1
+    b.finish()
+    return
+
+
+def _extract_blocks(blocks: list[Block]) -> tuple[str, list[tuple[int, int]], int, int]:
+    kept = [b for b in blocks if b.kept]
+    dropped = len(blocks) - len(kept)
+    text = "\n".join(b.text for b in kept)
+    spans = [(b.start, b.end) for b in kept]
+    return text, spans, len(kept), dropped
 
 
 def extract_html(raw: str) -> tuple[str, list[tuple[int, int]], int, int]:
     """→ (extracted_text, spans, blocks_kept, blocks_dropped).
 
     Kept blocks joined with '\\n' in document order; spans are sorted,
-    non-overlapping raw char offsets of the kept blocks.
-    """
+    non-overlapping raw char offsets of the kept blocks. Fast-tokenizer
+    path; ``extract_html_reference`` is the stdlib-parser twin."""
+    b = _BlockBuilder()
+    _scan(raw, b)
+    return _extract_blocks(b.blocks)
+
+
+def extract_html_reference(raw: str) -> tuple[str, list[tuple[int, int]], int, int]:
+    """stdlib ``html.parser`` twin — the behavioral reference the fast
+    path is equality-tested against (kept out of the hot path)."""
     parser = _MainContentParser(raw)
     parser.feed(raw)
     parser.close()
-    kept = [b for b in parser.blocks if b.kept]
-    dropped = len(parser.blocks) - len(kept)
-    text = "\n".join(b.text for b in kept)
-    spans = [(b.start, b.end) for b in kept]
-    return text, spans, len(kept), dropped
+    return _extract_blocks(parser.builder.blocks)

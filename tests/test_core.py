@@ -444,3 +444,39 @@ def test_fields_inline_label_value_merged_layout():
     assert f.consignee == "Plainview Traders"
     assert f.vehicle_no == "KA05AB7788"
     assert f.doc_date == "2025-11-09"
+
+
+def test_fast_html_equals_stdlib_parser():
+    """The fast tokenizer (core/html_main._scan) must be
+    byte-equivalent to the stdlib html.parser twin — over the whole
+    fixture corpus, plus truncations/splices/char-mutations of it and
+    a battery of malformed edges."""
+    import random
+
+    from ocr_spark.core.html_main import extract_html, extract_html_reference
+    from ocr_spark.fixtures import gen_transcripts
+
+    texts = list(gen_transcripts(0.002, seed=42).text)
+    rng = random.Random(7)
+    html_texts = [t for t in texts if t.lstrip()[:1] == "<"]
+    cases = list(texts)
+    for t in html_texts[:120]:
+        cases.append(t[: rng.randrange(len(t))])
+        i, j = sorted((rng.randrange(len(t)), rng.randrange(len(t))))
+        cases.append(t[:i] + t[j:])
+        mut = list(t)
+        mut[rng.randrange(len(mut))] = rng.choice('<>&"\'=/x ')
+        cases.append("".join(mut))
+    cases += [
+        "", "<", ">", "&", "&amp", "&amp;", "&#", "&#x;",
+        "&#xZZZ; <p>hi there world</p>", "<p>text &#noSemicolonAnywhere",
+        "<p>tail entity &am", "<p>tail entity &a",
+        "<script>never closed <p>gone", "<!-- unterminated comment <p>xyz",
+        "</ bogus no gt", "<? pi no gt", "<! decl no gt",
+        '<a href="unclosed quote value', '<div =">junky',
+        "<a b=c d='e'>words here three</a>", "<p >spaced tag words</p >",
+        "<p/>self closed p then words here",
+        '<div data-note="a > b">gt inside quoted attr words</div>',
+    ]
+    for e in cases:
+        assert extract_html(e) == extract_html_reference(e), repr(e[:120])
