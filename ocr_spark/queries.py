@@ -447,15 +447,30 @@ WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= {threshold}
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 4, max_bucket: int = 64,
                  threshold: float = 0.5) -> str:
+    # double-hashing MinHash (Kirsch-Mitzenmacher): g_i = (a + i*b)
+    # mod 2^60 over two 60-bit md5-prefix hashes — identical
+    # arithmetic to operators/dedup._band_buckets_expr (DuckDB's
+    # ('0x'||hex)::BIGINT ≡ Spark's conv(hex,16,10), verified)
     r = num_hashes // bands
+    mod = 1 << 60
+
+    def g(i: int) -> str:
+        return (
+            f"((('0x' || substr(md5('h1|' || x), 1, 15))::BIGINT"
+            f" + {i} * ('0x' || substr(md5('h2|' || x), 1, 15))::BIGINT)"
+            f" % {mod})"
+        )
+
     sig_cols = ", ".join(
-        f"list_min(list_transform(sh_arr, x -> md5('s{i}|' || x))) AS sig{i}"
+        f"list_min(list_transform(sh_arr, x -> {g(i)})) AS sig{i}"
         for i in range(num_hashes)
     )
     band_rows = " UNION ALL ".join(
         "SELECT id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"sig{b * r + j}" for j in range(r)),
+            expr=" || '|' || ".join(
+                f"CAST(sig{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
         )
         for b in range(bands)
     )
