@@ -59,7 +59,7 @@ HEADLINE = (
 # ≈ 16 busy cores is the widest 4N config the box can express
 # faithfully; wider configs measure the hypervisor.
 SCALING_MASTERS = ("local[2]", "local[8]", "local[32]")
-N_ROUNDS = 4  # interleaved A/B rounds (noisy-neighbor / cpu-credit box)
+N_ROUNDS = 5  # interleaved A/B rounds (noisy-neighbor / cpu-credit box)
 
 
 def _materialize(df) -> None:

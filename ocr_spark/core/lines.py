@@ -9,6 +9,7 @@ line body but accounted for in offset math.
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple
 
 
@@ -18,20 +19,18 @@ class Line(NamedTuple):
     end: int    # char offset one past line body (excludes \r and \n)
 
 
+_TERM_RE = re.compile(r"\r\n|\r|\n")
+
+
 def split_lines_with_spans(raw: str) -> list[Line]:
-    """Split on \\n / \\r\\n / \\r, keeping raw char spans per line."""
+    """Split on \\n / \\r\\n / \\r, keeping raw char spans per line
+    (terminator scan stays C-side — a per-char Python loop was ~30% of
+    the pdf_like extraction profile)."""
     lines: list[Line] = []
-    i, n = 0, len(raw)
-    while i <= n:
-        j = i
-        while j < n and raw[j] not in ("\n", "\r"):
-            j += 1
-        lines.append(Line(raw[i:j], i, j))
-        if j >= n:
-            break
-        # consume terminator: \r\n counts as one
-        if raw[j] == "\r" and j + 1 < n and raw[j + 1] == "\n":
-            i = j + 2
-        else:
-            i = j + 1
+    i = 0
+    for m in _TERM_RE.finditer(raw):
+        s = m.start()
+        lines.append(Line(raw[i:s], i, s))
+        i = m.end()
+    lines.append(Line(raw[i:], i, len(raw)))
     return lines
