@@ -246,7 +246,16 @@ class _MainContentParser(HTMLParser):
 # parity with _MainContentParser is asserted corpus-wide in
 # tests/test_core.py::test_fast_html_equals_stdlib_parser.
 
-_TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")  # tagfind_tolerant
+_TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")  # name only
+# CPython's tagfind_tolerant / attrfind_tolerant, verbatim (stdlib,
+# PSF-licensed): parse_starttag's `end = rawdata[k:endpos]` check needs
+# k advanced by exactly this name+attrs consumption, or '<tag />' (the
+# XHTML void form) classifies as a start tag instead of startend
+_TAGFIND_TOLERANT_RE = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND_TOLERANT_RE = re.compile(
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
 # CPython html.parser's locatestarttagend_tolerant, verbatim (stdlib,
 # PSF-licensed) — using the exact same pattern is what makes the fast
 # path byte-equivalent to the stdlib twin on malformed attributes
@@ -279,14 +288,60 @@ _CDATA_END = {"script": re.compile(r"</\s*script", re.IGNORECASE),
               "style": re.compile(r"</\s*style", re.IGNORECASE)}
 
 
+def _close_fallback(raw: str, i: int, add) -> int:
+    """stdlib close()'s recovery for a parse_* that returned -1: data
+    up to the next '>' (inclusive), else up to the next '<', else one
+    char — then parsing CONTINUES from there."""
+    k = raw.find(">", i + 1)
+    if k >= 0:
+        k += 1
+    else:
+        k = raw.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    add(i, k, raw[i:k])
+    return k
+
+
+def _consume_cdata(raw: str, b: _BlockBuilder, tag: str, start: int, add) -> int:
+    """Raw-text element content from ``start``: only a STRICT close
+    tag whose name equals ``tag`` exits CDATA mode (stdlib parse_endtag
+    with cdata_elem set — a bogus '</script foo>' is emitted as data
+    and scanning continues inside the element). Returns the resume
+    index, or -1 when the element is unclosed (stdlib drops the rest).
+    """
+    cd = _CDATA_END[tag]
+    pos = start
+    while True:
+        em = cd.search(raw, pos)
+        if em is None:
+            return -1
+        s = em.start()
+        add(pos, s, raw[pos:s])  # suppressed (skip tag), kept for parity
+        sm = _ENDTAG_STRICT_RE.match(raw, s)
+        if sm and sm.group(1).lower() == tag:
+            b.on_end(tag)
+            return sm.end()
+        gt = raw.find(">", s)
+        if gt < 0:
+            return -1
+        add(s, gt, raw[s:gt])  # bogus close: data, stay in CDATA
+        pos = gt
+
+
 def _scan(raw: str, b: _BlockBuilder) -> None:
     """Drive the builder over ``raw`` with html.parser-equivalent
-    events. Data chunks split at every '&'/'<' like the stdlib parser
-    (chunk boundaries matter: per-chunk whitespace collapapse feeds the
-    link-density score)."""
+    events (one feed + one close). Data chunks split at every '&'/'<'
+    like the stdlib parser (chunk boundaries matter: per-chunk
+    whitespace collapse feeds the link-density score)."""
     n = len(raw)
     i = 0
     add = b._add_chunk
+    semi_last = raw.rfind(";")  # O(1) '";" in rest' checks for &# bails
+    # stdlib runs goahead twice (feed + close); every break-causing
+    # construct (a '&#' bail or any parse_* -1) consumes one pass, and
+    # a break in the CLOSE pass dumps the rest as one data chunk
+    in_close_pass = False
     while i < n:
         m = _DATA_BOUNDARY_RE.search(raw, i)
         j = m.start() if m else n
@@ -295,57 +350,49 @@ def _scan(raw: str, b: _BlockBuilder) -> None:
             i = j
         if i >= n:
             break
-        ch = raw[i]
         nxt1 = raw[i + 1] if i + 1 < n else ""
-        c2 = ch + nxt1
-        if ch == "<":
+        if raw[i] == "<":
             if nxt1 and (nxt1.isascii() and nxt1.isalpha()):
                 # start tag — mirror check_for_whole_start_tag +
                 # parse_starttag exactly
                 tm = _TAGNAME_RE.match(raw, i + 1)
                 te = tm.end()
                 if te < n and raw[te] == ">":
-                    # attribute-free fast path (identical to the
-                    # locate-regex result for this shape)
+                    # attribute-free fast path (identical to the full
+                    # emulation for this shape)
                     tag = tm.group(0).lower()
                     b.on_start(tag)
-                    cd = _CDATA_END.get(tag)
-                    if cd is not None:
-                        em = cd.search(raw, te + 1)
-                        if em is None:
+                    if tag in _CDATA_END:
+                        i = _consume_cdata(raw, b, tag, te + 1, add)
+                        if i < 0:
                             b.finish()
                             return
-                        add(te + 1, em.start(), raw[te + 1 : em.start()])
-                        i = em.start()
                         continue
                     i = te + 1
                     continue
                 lm = _LOCATE_STARTTAG_RE.match(raw, i)
                 j = lm.end()
                 nxt = raw[j : j + 1]
-                endpos = -1
                 if nxt == ">":
                     endpos = j + 1
                 elif nxt == "/" and raw.startswith("/>", j):
                     endpos = j + 2
                 elif nxt == "" or nxt in _TAG_END_LETTERS or nxt == "/":
-                    endpos = -1  # incomplete at buffer end (stdlib -1)
+                    # incomplete at buffer end (stdlib -1)
+                    in_close_pass = True
+                    i = _close_fallback(raw, i, add)
+                    continue
                 else:
                     endpos = j if j > i else i + 1
-                if endpos < 0:
-                    # stdlib close() fallback: data to next '>'
-                    # (inclusive), else next '<', else one char
-                    k = raw.find(">", i + 1)
-                    if k >= 0:
-                        k += 1
-                    else:
-                        k = raw.find("<", i + 1)
-                        if k < 0:
-                            k = i + 1
-                    add(i, k, raw[i:k])
-                    i = k
-                    continue
-                tail = raw[j:endpos].strip()
+                # parse_starttag: advance k over name+attrs, then the
+                # remainder before endpos decides the tag's fate
+                k = _TAGFIND_TOLERANT_RE.match(raw, i + 1).end()
+                while k < endpos:
+                    am = _ATTRFIND_TOLERANT_RE.match(raw, k)
+                    if not am:
+                        break
+                    k = am.end()
+                tail = raw[k:endpos].strip()
                 if tail not in (">", "/>"):
                     # junk before tag end: the whole region is data
                     add(i, endpos, raw[i:endpos])
@@ -356,20 +403,18 @@ def _scan(raw: str, b: _BlockBuilder) -> None:
                     b.on_startend(tag)
                 else:
                     b.on_start(tag)
-                    cd = _CDATA_END.get(tag)
-                    if cd is not None:
-                        # raw-text element: content until the matching
-                        # close pattern; unclosed → the rest is
-                        # silently dropped (stdlib parity)
-                        em = cd.search(raw, endpos)
-                        if em is None:
+                    if tag in _CDATA_END:
+                        i = _consume_cdata(raw, b, tag, endpos, add)
+                        if i < 0:
                             b.finish()
                             return
-                        add(endpos, em.start(), raw[endpos : em.start()])
-                        i = em.start()
                         continue
                 i = endpos
-            elif c2 == "</":
+            elif nxt1 == "/":
+                if raw.find(">", i + 1) < 0:
+                    in_close_pass = True
+                    i = _close_fallback(raw, i, add)  # stdlib -1 path
+                    continue
                 em = _ENDTAG_STRICT_RE.match(raw, i)
                 if em:
                     b.on_end(em.group(1).lower())
@@ -380,39 +425,24 @@ def _scan(raw: str, b: _BlockBuilder) -> None:
                     # tolerant end tag: name then junk until '>'
                     tm = _TAGNAME_RE.match(raw, i + 2)
                     gt = raw.find(">", tm.end())
-                    if gt < 0:
-                        add(i, n, raw[i:n])
-                        b.finish()
-                        return
                     b.on_end(tm.group(0).lower())
                     i = gt + 1
                 else:
                     # bogus comment '</ junk>': no event, eat to '>'
-                    gt = raw.find(">", i + 2)
-                    if gt < 0:
-                        add(i, n, raw[i:n])
-                        b.finish()
-                        return
-                    i = gt + 1
+                    i = raw.find(">", i + 2) + 1
             elif raw[i : i + 4] == "<!--":
                 cm = raw.find("-->", i + 4)
                 if cm < 0:
-                    # unterminated comment: stdlib close() fallback
-                    k = raw.find(">", i + 1)
-                    if k >= 0:
-                        k += 1
-                    else:
-                        k = i + 1
-                    add(i, k, raw[i:k])
-                    i = k
+                    in_close_pass = True
+                    i = _close_fallback(raw, i, add)  # unterminated
                 else:
                     i = cm + 3
-            elif c2 in ("<?", "<!"):
+            elif nxt1 in ("?", "!"):
                 gt = raw.find(">", i + 2)
                 if gt < 0:
-                    add(i, n, raw[i:n])
-                    b.finish()
-                    return
+                    in_close_pass = True
+                    i = _close_fallback(raw, i, add)
+                    continue
                 i = gt + 1  # pi / declaration: no content event
             elif i + 1 < n:
                 add(i, i + 1, "<")
@@ -420,16 +450,25 @@ def _scan(raw: str, b: _BlockBuilder) -> None:
             else:
                 add(i, n, "<")  # stdlib close(): trailing '<' is data
                 break
-        elif c2 == "&#":
+        elif nxt1 == "#":  # '&#'
             cm = _CHARREF_RE.match(raw, i)
             if cm:
                 k = cm.end()
                 end = k + 1 if raw[k] == ";" else k
                 add(i, end, _decode_charref(cm.group(1)))
                 i = end
-            elif ";" in raw[i:]:
-                add(i, i + 2, "&#")  # stdlib bail: '&#' as data
+            elif semi_last >= i:
+                # stdlib bail: '&#' as data + goahead breaks
+                add(i, i + 2, "&#")
                 i += 2
+                if in_close_pass:
+                    # second break happened in close(): end-phase dumps
+                    # the remainder as one data chunk
+                    if i < n:
+                        add(i, n, raw[i:n])
+                    b.finish()
+                    return
+                in_close_pass = True
             else:
                 add(i, n, raw[i:n])  # rest of the doc becomes data
                 b.finish()

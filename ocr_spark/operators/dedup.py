@@ -505,6 +505,14 @@ def duplicate_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # fail loudly: silently-partial labels would diverge from the
+        # oracle's exact transitive closure on long chains
+        raise RuntimeError(
+            f"duplicate_components did not converge within {max_iters} "
+            f"rounds — pair-graph diameter exceeds the bound; raise "
+            f"max_iters or switch to the large-star/small-star variant"
+        )
     return labels.select(
         F.col("id").alias(id_col),
         F.col("comp").alias("component"),

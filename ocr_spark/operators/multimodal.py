@@ -165,19 +165,24 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame-sampling plumbing: N evenly-spaced frames per
     payload (real path: pyav seek+decode). One input row fans out to N
-    output rows — the mapInPandas generator shape for 1→N expansion."""
+    output rows — the mapInPandas generator shape for 1→N expansion.
+
+    The STUB windows over decoded CHARACTERS, not raw bytes: byte
+    windows can split multi-byte sequences, which no SQL oracle can
+    hash portably — char windows keep the oracle valid for any unicode
+    payload (a real frame decoder replaces this wholesale anyway)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = _as_bytes(payload)
-                step = max(1, len(b) // n_frames)
+                s = _as_bytes(payload).decode("utf-8", errors="replace")
+                step = max(1, len(s) // n_frames)
                 for i in range(n_frames):
-                    # STUB frame decode: checksum of the byte window
-                    window = b[i * step : (i + 1) * step] or b
+                    # STUB frame decode: checksum of the char window
+                    window = s[i * step : (i + 1) * step] or s
                     rows.append(
-                        (int(doc_id), i, hashlib.md5(window).hexdigest())
+                        (int(doc_id), i, hashlib.md5(window.encode("utf-8")).hexdigest())
                     )
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_checksum"])
 

@@ -21,11 +21,29 @@ version (stale files from older generators are never reused).
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import tempfile
 
 from ocr_spark.fixtures import FIXTURE_VERSION
+
+
+def _core_tag() -> str:
+    """Digest of the shared extraction core's source: cached oracle
+    files depend on BOTH the fixture generator version and the code
+    that produced them — without this in the cache key, editing
+    ocr_spark/core would silently reuse a stale oracle parquet."""
+    h = hashlib.md5()
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "core")
+    for p in sorted(glob.glob(os.path.join(root, "*.py"))):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_CORE_TAG = _core_tag()
 
 
 def spans_to_json(spans: list[tuple[int, int]]) -> str:
@@ -52,16 +70,16 @@ def oracle_path(name: str) -> str:
 
 
 def extract_oracle_name(sf: float) -> str:
-    return f"ocr_spark_oracle_extract_v{FIXTURE_VERSION}_sf{sf}.parquet"
+    return f"ocr_spark_oracle_extract_v{FIXTURE_VERSION}_{_CORE_TAG}_sf{sf}.parquet"
 
 
 def docextract_oracle_name(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"ocr_spark_oracle_docextract_v{FIXTURE_VERSION}_{tag}.parquet"
+    return f"ocr_spark_oracle_docextract_v{FIXTURE_VERSION}_{_CORE_TAG}_{tag}.parquet"
 
 
 def fields_oracle_name(sf: float) -> str:
-    return f"ocr_spark_oracle_fields_v{FIXTURE_VERSION}_sf{sf}.parquet"
+    return f"ocr_spark_oracle_fields_v{FIXTURE_VERSION}_{_CORE_TAG}_sf{sf}.parquet"
 
 
 def _write_extraction(rows, id_cols, out_path: str) -> None:

@@ -477,6 +477,19 @@ def test_fast_html_equals_stdlib_parser():
         "<a b=c d='e'>words here three</a>", "<p >spaced tag words</p >",
         "<p/>self closed p then words here",
         '<div data-note="a > b">gt inside quoted attr words</div>',
+        # review-pass reproducers: XHTML void form, bogus CDATA close,
+        # repeated '&#' bails, unterminated-construct tails
+        "before <script /> after words here more words</p>",
+        "<a />link text words</a><p>main body with plenty of words</p>",
+        '<script>var a=1;</script foo="bar">trailing content words</div>',
+        "a &#z; b &#y; <p>hello world</p>",
+        "a &#z; b &#y; c &#x; <p>hello world</p>",
+        "#</a>-<?ax=1;&amp;&amp;?",
+        "</P&x y z words here ",
+        "'<!--hello &#x41;;a/<div ",
+        "<script>x</script x>y words here</script>z more words",
+        "<a href=/x/>bare slash value words here</a>",
+        "words here</ x><!--&#x41;</ x><!--&#&amp;",
     ]
     for e in cases:
         assert extract_html(e) == extract_html_reference(e), repr(e[:120])
