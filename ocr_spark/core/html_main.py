@@ -286,6 +286,15 @@ _ENTITYREF_RE = re.compile(r"&([a-zA-Z][-.a-zA-Z0-9]*)(?=[^a-zA-Z0-9])")
 _DATA_BOUNDARY_RE = re.compile(r"[&<]")
 _CDATA_END = {"script": re.compile(r"</\s*script", re.IGNORECASE),
               "style": re.compile(r"</\s*style", re.IGNORECASE)}
+# stdlib _markupbase closers: comments accept whitespace before '>'
+_COMMENT_CLOSE_RE = re.compile(r"--\s*>")
+# marked sections: '<![CDATA[..]]>' family closes with ']]>',
+# MS conditional '<![if ..]>' family with ']>'
+_MS_NAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
+_MARKED_CLOSE_RE = re.compile(r"]\s*]\s*>")
+_MS_COND_CLOSE_RE = re.compile(r"]\s*>")
+_MARKED_SECTIONS = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
+_MS_CONDITIONALS = frozenset({"if", "else", "endif"})
 
 
 def _close_fallback(raw: str, i: int, add) -> int:
@@ -431,12 +440,39 @@ def _scan(raw: str, b: _BlockBuilder) -> None:
                     # bogus comment '</ junk>': no event, eat to '>'
                     i = raw.find(">", i + 2) + 1
             elif raw[i : i + 4] == "<!--":
-                cm = raw.find("-->", i + 4)
-                if cm < 0:
+                cm = _COMMENT_CLOSE_RE.search(raw, i + 4)
+                if cm is None:
                     in_close_pass = True
                     i = _close_fallback(raw, i, add)  # unterminated
                 else:
-                    i = cm + 3
+                    i = cm.end()
+            elif raw[i : i + 3] == "<![":
+                # marked section: '<![CDATA[...]]>' / '<![if ...]>'
+                nm = _MS_NAME_RE.match(raw, i + 3)
+                name = nm.group(0).lower() if nm else ""
+                if name in _MARKED_SECTIONS:
+                    close = _MARKED_CLOSE_RE.search(raw, i + 3)
+                elif name in _MS_CONDITIONALS:
+                    close = _MS_COND_CLOSE_RE.search(raw, i + 3)
+                else:
+                    # stdlib parse_marked_section RAISES here
+                    # (AssertionError: 'expected name token') — a
+                    # deliberate divergence: extraction is total, so a
+                    # malformed section degrades to bogus-comment
+                    # consumption instead of crashing the pipeline
+                    close = None
+                    gt = raw.find(">", i + 3)
+                    if gt < 0:
+                        in_close_pass = True
+                        i = _close_fallback(raw, i, add)
+                        continue
+                    i = gt + 1
+                    continue
+                if close is None:
+                    in_close_pass = True
+                    i = _close_fallback(raw, i, add)
+                    continue
+                i = close.end()  # section content is never text
             elif nxt1 in ("?", "!"):
                 gt = raw.find(">", i + 2)
                 if gt < 0:

@@ -37,7 +37,12 @@ def _core_tag() -> str:
     ocr_spark/core would silently reuse a stale oracle parquet."""
     h = hashlib.md5()
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "core")
-    for p in sorted(glob.glob(os.path.join(root, "*.py"))):
+    paths = sorted(glob.glob(os.path.join(root, "*.py")))
+    if not paths:
+        # zip/egg import or layout change: a constant digest would
+        # silently defeat the stale-cache protection — fail loudly
+        raise RuntimeError(f"no core sources found under {root}")
+    for p in paths:
         with open(p, "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:10]

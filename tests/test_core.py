@@ -490,6 +490,16 @@ def test_fast_html_equals_stdlib_parser():
         "<script>x</script x>y words here</script>z more words",
         "<a href=/x/>bare slash value words here</a>",
         "words here</ x><!--&#x41;</ x><!--&#&amp;",
+        "<p><!-- note -- > actual words here</p>",
+        "<p>before <![CDATA[a>b]]> rest of the words here</p>",
+        "<p>x <![if gt 5]>cond<![endif]> words here now</p>",
+        "<p>unterminated <![CDATA[ words here now",
     ]
     for e in cases:
         assert extract_html(e) == extract_html_reference(e), repr(e[:120])
+    # stdlib parse_marked_section RAISES on malformed sections — the
+    # fast path must stay total instead (documented divergence)
+    for e in ("<p>bad <![3 junk]> words here now</p>",
+              "<p>bad <![ spaced]> words here now</p>"):
+        text, spans, kept, dropped = extract_html(e)
+        assert kept == 1 and "words here now" in text
