@@ -456,6 +456,43 @@ def simhash_exploded(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 3,
+    max_postings: int = 4,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-copy detection: doc pairs sharing ≥ ``min_shared``
+    winnowing fingerprints (Schleimer et al. §5 — fingerprint overlap
+    finds copied SPANS, where shingle Jaccard only scores whole-doc
+    similarity). ``max_postings`` keeps only rare (discriminative)
+    fingerprints: a fingerprint appearing in many docs is vocabulary,
+    not copying, and would blow the inverted-index join up
+    quadratically — the same skew-cap shape as LSH's max_bucket.
+    Shuffles: fingerprint explode → two groupBys + one equi-join, all
+    bounded by the posting cap."""
+    fps = winnow_docs(df, k, w, text_col, id_col).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    bounded = fps.join(
+        counts.filter(F.col("c") <= max_postings).select("fp"), "fp"
+    )
+    return (
+        bounded.alias("a")
+        .join(bounded.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def duplicate_components(
     df: DataFrame,
     pairs: DataFrame,

@@ -338,6 +338,13 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(to_media_table(_docs(spark, sf_dir)))
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-copy pairs via shared rare winnowing fingerprints."""
+    from ocr_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_docs(spark, sf_dir))
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver surface serializes the fingerprint array to a CSV string
     (sorted + distinct already, so the string is canonical)."""
@@ -405,6 +412,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "winnow_docs": q_winnow,
+    "winnow_overlap": q_winnow_overlap,
 }
 
 # ---------------------------------------------------------------------------
@@ -1177,6 +1185,32 @@ minima AS (
 SELECT doc_id, array_to_string(list_sort(list(DISTINCT wmin)), ',') AS fps
 FROM minima WHERE i <= n - 3
 GROUP BY doc_id
+""",
+    # passage-copy pairs: rare-fingerprint inverted index over the
+    # same winnowing minima (posting cap = discriminative-fp filter)
+    "winnow_overlap": """
+WITH grams AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, greatest(length(text) - 6, 1))) AS INTEGER) AS i,
+         md5(substr(text, CAST(unnest(range(1, greatest(length(text) - 6, 1))) AS INTEGER), 8)) AS h
+  FROM documents
+),
+minima AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         max(i) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id AS id, wmin AS fp FROM minima WHERE i <= n - 3),
+counts AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+bounded AS (SELECT f.id, f.fp FROM fps f JOIN counts USING (fp) WHERE c <= 4),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+  FROM bounded a JOIN bounded b USING (fp)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3
 """,
     "media_meta": """
 SELECT doc_id,

@@ -85,3 +85,12 @@ def validate_input_schema(df: DataFrame, required: dict[str, str]) -> None:
             problems.append(f"column {col} is {actual[col]}, expected {typ}")
     if problems:
         raise SchemaMismatch("; ".join(problems))
+
+
+def write_transaction_report(pivot_df: DataFrame, dest: str) -> None:
+    """Transaction report sink (SURVEY S8's DATA content — the
+    reference renders the same per-transaction wide rows into a styled
+    PDF, ``download.jsx:288-501``; presentation is out of scope, the
+    rows are identical): one CSV row per conversation from the
+    transaction pivot, ordered by conv_id for a stable report."""
+    write_csv_report(pivot_df.orderBy("conv_id"), dest)

@@ -336,3 +336,34 @@ def test_duplicate_components_resolves_clusters(spark):
         5: (5, True), 6: (5, False),
         7: (7, True),
     }
+
+
+def test_transaction_report_sink(spark, transcripts_path, tmp_path):
+    """S8 report content: one ordered CSV row per conversation with
+    the pivot's full column set, loading/unloading slots included."""
+    import csv
+    import glob
+
+    from ocr_spark.job import ensure_package_shipped, extract_transcripts
+    from ocr_spark.operators.conversation import transaction_pivot
+    from ocr_spark.sources.io import write_transaction_report
+    from ocr_spark.udfs import fields_udf
+
+    ensure_package_shipped(spark)
+    ext = extract_transcripts(spark.read.parquet(transcripts_path)).filter(
+        F.col("kind") == "pdf_like"
+    )
+    piv = transaction_pivot(
+        ext.select(
+            "conv_id", "turn_idx", fields_udf(F.col("extracted_text")).alias("f")
+        ).select("conv_id", "turn_idx", "f.*")
+    )
+    dest = str(tmp_path / "report")
+    write_transaction_report(piv, dest)
+    (csv_file,) = glob.glob(dest + "/*.csv")
+    with open(csv_file, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == piv.count()
+    assert "loading_net_weight" in rows[0] and "n_weighbridge" in rows[0]
+    convs = [r["conv_id"] for r in rows]
+    assert convs == sorted(convs)

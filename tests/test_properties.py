@@ -73,3 +73,31 @@ def test_fields_total_and_deterministic(raw):
         "E Way Bill", "Delivery Challan", "LR Copy",
         "Weighbridge", "Tax Invoice", "Unknown",
     )
+
+
+_htmlish = st.lists(
+    st.sampled_from(list("<>&;/!?[]-=\"' abcdefxyz#014Ip\n\t"))
+    | st.sampled_from(
+        ["<p>", "</p>", "<script>", "</script>", "<a href='x'>", "</a>",
+         "&amp;", "&#x41;", "&#", "<!--", "-->", "<![CDATA[", "]]>",
+         " />", "/>", "< p", "</ x>", "words here"]
+    ),
+    max_size=40,
+).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_htmlish)
+def test_fast_tokenizer_equals_stdlib_property(raw):
+    """Property form of the fast/stdlib twin equality: wherever the
+    stdlib parser accepts the input, the fast tokenizer's output is
+    byte-identical; where the stdlib RAISES (malformed marked
+    sections), the fast path must still be total."""
+    from ocr_spark.core.html_main import extract_html, extract_html_reference
+
+    try:
+        ref = extract_html_reference(raw)
+    except Exception:
+        extract_html(raw)  # totality is the contract here
+        return
+    assert extract_html(raw) == ref
