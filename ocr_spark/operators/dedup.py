@@ -41,34 +41,37 @@ from ocr_spark.functions.text import fingerprint, word_shingles
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows per band = num_hashes // bands
 
-_shingle_cache: dict[int, DataFrame] = {}  # ≤1 entry per SparkSession
+# double-hashing g_i = a + i*b with 60-bit a,b stays under 2^63 only
+# for i <= 7; beyond that Spark's (non-ANSI) BIGINT silently wraps
+# while DuckDB raises -- an undetectable cross-engine divergence, so
+# the bound is enforced, not documented-only
+MAX_NUM_HASHES = 8
 
 
-def _swap_shingle_cache(arr: DataFrame) -> DataFrame:
-    """Persist ``arr``, releasing THIS session's previously cached
-    table (keyed per SparkSession so concurrent sessions can't release
-    each other's storage). Within a session, a new call supersedes the
-    old cache — a caller that re-executes the previous call's DataFrame
-    falls back to the uncached plan, it doesn't break. Entries for
-    stopped sessions are pruned best-effort."""
-    from pyspark import StorageLevel
+def _check_num_hashes(num_hashes: int) -> None:
+    if num_hashes > MAX_NUM_HASHES:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) > {MAX_NUM_HASHES}: the "
+            f"double-hashing permutation a + i*b uses 60-bit bases, so "
+            f"i > 7 overflows 2^63 -- Spark would wrap silently while "
+            f"the DuckDB oracle raises (undetected divergence)"
+        )
 
-    spark = arr.sparkSession
-    for key in list(_shingle_cache):
-        stale = key == id(spark)
-        if not stale:
-            try:
-                stale = _shingle_cache[key].sparkSession.sparkContext._jsc is None
-            except Exception:
-                stale = True  # session already torn down
-        if stale:
-            try:
-                _shingle_cache.pop(key).unpersist(blocking=False)
-            except Exception:
-                pass  # stopped session: nothing left to release
-    arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
-    _shingle_cache[id(spark)] = arr
-    return arr
+
+def _materialize_shingles(arr: DataFrame) -> DataFrame:
+    """Materialize the shingle table once, scoped to this call: a
+    ``localCheckpoint`` stores the computed partitions (MEMORY_AND_DISK)
+    and truncates lineage, and -- unlike ``persist``, whose CacheManager
+    entry outlives the caller -- the stored blocks are reclaimed by
+    Spark's ContextCleaner as soon as the returned plan is garbage
+    collected. No module-global state, nothing for a second call to
+    clobber, and re-executing the result reuses the stored blocks.
+    Without a materialization boundary Catalyst's projection collapse
+    would inline the shingle-array expression into every consumer (8
+    signature references + both sides of the verify join). On a
+    multi-executor cluster, swap for reliable ``checkpoint`` if
+    executor loss must never recompute the stage."""
+    return arr.localCheckpoint(eager=True)
 
 
 # Double-hashing MinHash (Kirsch & Mitzenmacher, "Less Hashing, Same
@@ -95,6 +98,7 @@ def _band_buckets_expr(sh_arr, num_hashes: int, bands: int) -> "F.Column":
     twice across projections, so Catalyst's projection collapse cannot
     re-evaluate the fold (the same anti-inlining shape as _simhash_sig).
     """
+    _check_num_hashes(num_hashes)
     r = num_hashes // bands
     mod = F.lit(_MINHASH_MOD).cast("long")
 
@@ -134,6 +138,7 @@ def _sig_cols(num_hashes: int) -> list:
     """The k MinHash signature expressions over a ``sh_arr`` column
     (inspection/testing surface; the pipeline uses the fused
     ``_band_buckets_expr``)."""
+    _check_num_hashes(num_hashes)
     mod = F.lit(_MINHASH_MOD).cast("long")
     return [
         F.array_min(
@@ -173,23 +178,39 @@ def exploded_shingles(
     )
 
 
+DEFAULT_MAX_POSTINGS = 256
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_postings: int = DEFAULT_MAX_POSTINGS,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
 
     Self-join on shingle → per-pair intersection count → Jaccard from
     set sizes. Integer counts + one double division → engine-portable.
-    """
+
+    ``max_postings`` bounds the inverted-index fan-out (a shingle in P
+    docs yields P² join rows): shingles hotter than the cap are dropped
+    from the candidate join — the same skew-guard shape as LSH's
+    ``max_bucket`` and winnowing's posting cap. A dropped shingle still
+    counts toward both docs' set sizes, so surviving pairs' Jaccard is
+    a (tight) LOWER bound; the denominator stays exact. The default is
+    generous — this operator's role is the exact verifier, and a
+    3-token shingle shared by >256 docs is boilerplate, not content."""
     sh = exploded_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    postings = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_p"))
+    bounded = sh.join(
+        postings.filter(F.col("_p") <= max_postings).select("sh"), "sh"
+    )
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "sh")
+        bounded.alias("a")
+        .join(bounded.alias("b"), "sh")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
@@ -280,23 +301,18 @@ def minhash_lsh_dedup(
 
     Output (id_a, id_b, jaccard) — same shape as ``ngram_jaccard_pairs``
     but with LSH-bounded candidate generation (the scale path)."""
-    # cache boundary: without it Catalyst's projection collapse
-    # inlines the shingle-array expression into every signature column
-    # (8× recompute per row) and again into each side of the verify
-    # join. The cache is swapped per call (previous call's table is
-    # unpersisted) so repeated invocations pin at most ONE shingle
-    # table in (evictable MEMORY_AND_DISK) storage.
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into bands "
             f"({bands}) — trailing signatures would be silently unused"
         )
+    _check_num_hashes(num_hashes)
     # widen BEFORE shingling: the input scan's partition count
     # (file-size-driven, often single-digit for compact inputs) would
     # otherwise run the shingle computation near-serially and cap the
-    # parallelism of every downstream stage reading the cached table
-    # (signatures, bucket join, verify)
-    arr = _swap_shingle_cache(
+    # parallelism of every downstream stage reading the materialized
+    # table (signatures, bucket join, verify)
+    arr = _materialize_shingles(
         shingle_arrays(
             df.repartition(df.sparkSession.sparkContext.defaultParallelism),
             text_col,
@@ -304,7 +320,14 @@ def minhash_lsh_dedup(
             n,
         )
     )
-    bucketed = arr.select(
+    # docs with zero shingles (< n tokens) carry the sentinel
+    # accumulator: every such doc would hash to the SAME band buckets
+    # and become a mutual candidate (the DuckDB twin's list_min gives
+    # NULL buckets, which never join). Values still agree either way —
+    # the NULL-jaccard verify filter drops the pairs — but the filter
+    # keeps the bucket join structurally identical across engines and
+    # out of the skew cap's way.
+    bucketed = arr.filter(F.col("n_sh") > 0).select(
         "id", _band_buckets_expr(F.col("sh_arr"), num_hashes, bands).alias("buckets")
     )
     cand = lsh_candidate_pairs(bucketed)
@@ -557,6 +580,38 @@ def duplicate_components(
     )
 
 
+def _winnow_fps_expr(text_col, k: int = 8, w: int = 4) -> "F.Column":
+    """Per-doc winnowing fingerprints as ONE scalar expression.
+
+    The gram-hash array is computed once and then BOUND as a lambda
+    variable by wrapping it in a single-element array fed to
+    ``aggregate`` — inside the merge lambda it can be referenced per
+    window without Catalyst's projection collapse re-evaluating the
+    md5 transform (the same anti-inlining shape as ``_simhash_sig`` /
+    ``_band_buckets_expr``; a naive transform-over-slices formulation
+    re-runs the whole hash array per window → O(n²) md5). Work per doc
+    is O(n) md5 + O(n·w) comparisons, all inside one projection."""
+    n_grams = F.length(text_col) - F.lit(k - 1)
+    hashes = F.when(
+        n_grams >= 1, F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substring(text_col, i, F.lit(k))),
+        )
+    ).otherwise(F.array().cast("array<string>"))
+    minima = F.aggregate(
+        F.array(hashes),  # 1-element wrapper: binds the hash array
+        F.array().cast("array<string>"),
+        lambda acc, h: F.when(
+            F.size(h) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)),
+                lambda i: F.array_min(F.slice(h, i, F.lit(w))),
+            ),
+        ).otherwise(acc),
+    )
+    return F.array_sort(F.array_distinct(minima))
+
+
 def winnow_docs(
     df: DataFrame,
     k: int = 8,
@@ -567,12 +622,33 @@ def winnow_docs(
     """Winnowing fingerprints (Schleimer et al., public): hash every
     k-char gram, keep each w-window's minimum hash, dedupe + sort.
 
-    Exploded window formulation — one row per gram, frame-min over a
-    (0, w-1) window, collect per doc. Linear in document length and
-    shuffle-bounded by the gram stream (the pure-array formulation
-    re-evaluates the whole hash array per window under Catalyst's
-    lambda inlining — O(n²) md5). Output: (doc_id, fps array<string>).
+    Scale path: a single map-only projection (``_winnow_fps_expr``) —
+    zero shuffles, zero explodes; the signature stage pipelines with
+    the scan at any corpus size (the exploded-window twin below
+    shuffles the whole per-character gram stream into a per-doc window
+    sort — ~30× the corpus through an exchange at 100 TB). Docs too
+    short for one full window (< k+w-1 chars) are dropped by a pure
+    length predicate, matching the twin/oracle exactly. Output:
+    (doc_id, fps array<string>), value-identical to
+    ``winnow_docs_exploded`` (asserted in tests/test_plan_shape.py).
     """
+    return df.filter(F.length(F.col(text_col)) >= F.lit(k + w - 1)).select(
+        F.col(id_col).alias("doc_id"),
+        _winnow_fps_expr(F.col(text_col), k, w).alias("fps"),
+    )
+
+
+def winnow_docs_exploded(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded-window winnowing twin (the oracle's formulation): one
+    row per gram, frame-min over a (0, w-1) window, collect per doc.
+    Kept as the cross-check the DuckDB oracle mirrors — ``winnow_docs``
+    is the shuffle-free scale path (same values, asserted in tests)."""
     from pyspark.sql import Window
 
     n_grams = F.length(F.col(text_col)) - F.lit(k - 1)

@@ -127,6 +127,33 @@ def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mode_event_type_ties_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 mode with the REFERENCE's tie semantics (App.jsx:496-544):
+    a tie for the top count yields NULL (the reference renders "None")
+    rather than a picked winner. Offered alongside the deterministic
+    lexicographic default (``mode_event_type``) so callers choose the
+    tie policy explicitly. Plan: the count groupBy's exchange also
+    serves the per-user max window and final groupBy (same user_id
+    hash partitioning) — still effectively one wide shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    max_n = F.max("n").over(Window.partitionBy("user_id"))
+    top = counts.withColumn("max_n", max_n).filter(F.col("n") == F.col("max_n"))
+    return (
+        top.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.min("event_type").alias("_m"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "user_id",
+            F.when(F.col("_k") == 1, F.col("_m")).alias("mode_event_type"),
+            "n",
+        )
+    )
+
+
 def argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 argmax: per user, the event with the max value (tie → min
     event_id). row_number over a total order — portable, unlike

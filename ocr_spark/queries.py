@@ -106,6 +106,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_mode_ties_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.mode_event_type_ties_null(spark, sf_dir)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
 
@@ -165,10 +169,12 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (k-means cells + probing);
-    rows-only (MLlib clustering isn't SQL-expressible) — recall vs the
-    brute-force oracle is asserted in tests/test_similarity.py."""
-    return S.ivf_topk(_emb(spark, sf_dir), n_queries=10, k=3, n_probe=6)
+    """IVF approximate nearest neighbors, driver surface: the seeded
+    closed-form quantizer at a wider probe width (6/16 cells), fully
+    oracle-checked. The MLlib k-means quantizer (``S.ivf_topk``) stays
+    a library API — clustering isn't SQL-expressible, so it is gated by
+    the recall test in tests/test_similarity.py instead of a hash row."""
+    return S.ivf_topk_seeded(_emb(spark, sf_dir), n_queries=10, k=3, n_probe=6)
 
 
 def q_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,6 +366,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_top_orders": R.top_orders,
     "q5_region_revenue": R.region_revenue,
     "mode_event_type": R.mode_event_type,
+    "mode_event_type_ties_null": q_mode_ties_null,
     "argmax_event": R.argmax_event,
     "latest_event": R.latest_event,
     "event_type_pivot": R.event_type_pivot,
@@ -601,6 +608,54 @@ _NORM_B = S.norm_sql("b.embedding")
 
 _FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
+
+def _ivf_seeded_sql(n_probe: int, n_cells: int = 16, n_queries: int = 10, k: int = 3) -> str:
+    """Seeded-IVF oracle (mirrors S.ivf_topk_seeded): cell = argmin L2
+    to the first ``n_cells`` vectors, probe the ``n_probe`` nearest
+    cells per query, exact cosine inside them."""
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < {n_cells}
+),
+d AS (
+  SELECT e.vec_id, e.embedding, s.cell,
+         {S.l2_sql("e.embedding", "s.c_emb")} AS dist
+  FROM embeddings e CROSS JOIN seeds s
+),
+a AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+    FROM d) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+qd AS (
+  SELECT q.q_id, q.q_emb, s.cell,
+         {S.l2_sql("q.q_emb", "s.c_emb")} AS dist
+  FROM q CROSS JOIN seeds s
+),
+probed AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, cell ASC) AS rn
+    FROM qd) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.q_id, p.q_emb, a.vec_id, a.embedding
+  FROM probed p JOIN a USING (cell) WHERE a.vec_id != p.q_id
+),
+sc AS (
+  SELECT q_id, vec_id,
+         round(({S.dot_sql("q_emb", "embedding")})
+               / (({S.norm_sql("q_emb")}) * ({S.norm_sql("embedding")})), 6) AS sim
+  FROM cand
+),
+r AS (
+  SELECT q_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= {k}
+"""
+
 _DOC_TOKENS_CTE = """
 toks AS (
   SELECT doc_id,
@@ -824,6 +879,22 @@ r AS (
   FROM c
 )
 SELECT user_id, event_type AS mode_event_type, n FROM r WHERE rn = 1
+""",
+    # reference tie semantics (App.jsx:496-544): a tie for the top
+    # count yields NULL instead of a picked winner
+    "mode_event_type_ties_null": """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT user_id, event_type, n,
+         max(n) OVER (PARTITION BY user_id) AS max_n
+  FROM c
+)
+SELECT user_id,
+       CASE WHEN count(*) = 1 THEN min(event_type) END AS mode_event_type,
+       max(n) AS n
+FROM m WHERE n = max_n GROUP BY user_id
 """,
     "argmax_event": """
 WITH r AS (
@@ -1054,11 +1125,17 @@ WHERE k.keeper = l.doc_id AND l.pred_lang = 'en' AND q.quality >= 0.7
 SELECT {_FP_SQL} AS fp, min(doc_id) AS keeper, count(*) AS n_dups
 FROM documents GROUP BY 1
 """,
+    # posting cap mirrors ngram_jaccard_pairs' max_postings=256 (skew
+    # guard on the inverted-index join; set sizes stay exact)
     "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},
+postings AS (SELECT sh, count(*) AS p FROM sh GROUP BY sh),
+bounded AS (
+  SELECT s.id, s.sh FROM sh s JOIN postings USING (sh) WHERE p <= 256
+),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b
-  FROM sh a JOIN sh b USING (sh)
+  FROM bounded a JOIN bounded b USING (sh)
   WHERE a.id < b.id
 ),
 {_jaccard_select("pairs", 0.5)}
@@ -1119,49 +1196,11 @@ WHERE a.vec_id < b.vec_id
   AND round(({_DOT_AB}) / (({_NORM_A}) * ({_NORM_B})), 6) >= 0.3
 """,
     # seeded IVF: identical algorithm both engines (cell = argmin over
-    # the first-16-vector centroids, same fold order; probe 4 cells)
-    "ivf_topk_seeded": f"""
-WITH seeds AS (
-  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < 16
-),
-d AS (
-  SELECT e.vec_id, e.embedding, s.cell,
-         {S.l2_sql("e.embedding", "s.c_emb")} AS dist
-  FROM embeddings e CROSS JOIN seeds s
-),
-a AS (
-  SELECT vec_id, embedding, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
-    FROM d) WHERE rn = 1
-),
-q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-qd AS (
-  SELECT q.q_id, q.q_emb, s.cell,
-         {S.l2_sql("q.q_emb", "s.c_emb")} AS dist
-  FROM q CROSS JOIN seeds s
-),
-probed AS (
-  SELECT q_id, q_emb, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, cell ASC) AS rn
-    FROM qd) WHERE rn <= 4
-),
-cand AS (
-  SELECT p.q_id, p.q_emb, a.vec_id, a.embedding
-  FROM probed p JOIN a USING (cell) WHERE a.vec_id != p.q_id
-),
-sc AS (
-  SELECT q_id, vec_id,
-         round(({S.dot_sql("q_emb", "embedding")})
-               / (({S.norm_sql("q_emb")}) * ({S.norm_sql("embedding")})), 6) AS sim
-  FROM cand
-),
-r AS (
-  SELECT q_id, vec_id, sim,
-         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
-  FROM sc
-)
-SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 3
-""",
+    # the first-16-vector centroids, same fold order). The driver
+    # surface 'ivf_topk' is the same quantizer at probe width 6 (the
+    # MLlib k-means variant is library-only: clustering isn't SQL).
+    "ivf_topk": _ivf_seeded_sql(n_probe=6),
+    "ivf_topk_seeded": _ivf_seeded_sql(n_probe=4),
     "label_centroids": """
 SELECT label, count(*) AS n,
   round(CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE)

@@ -52,11 +52,16 @@ def duck():
 
 def _normalize(rows, cols):
     """Sort columns by name, normalize values, sort rows — the
-    order-insensitive comparison shape. The pandas sort_values pass
-    replicates the driver's canonicalizer strictness (it factorizes
-    each column, so unhashable cells raise TypeError there)."""
+    order-insensitive comparison shape. The explicit per-column
+    factorize replicates the driver canonicalizer's strictness:
+    unhashable cells (list/array columns) raise TypeError. (A bare
+    sort_values would only factorize on MULTI-key sorts — a one-column
+    result with list cells could slip through it.)"""
     order = sorted(cols)
-    pd.DataFrame(list(rows), columns=list(cols))[order].sort_values(order)
+    frame = pd.DataFrame(list(rows), columns=list(cols))[order]
+    for c in order:
+        pd.factorize(frame[c])  # raises on unhashable cells
+    frame.sort_values(order)
 
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
 

@@ -131,6 +131,41 @@ def test_simhash_native_zero_shuffle_equals_exploded(spark):
     assert a == b and len(a) > 0
 
 
+def test_winnow_native_zero_shuffle_equals_exploded(spark):
+    """The scale-path winnowing signature is a single map-only
+    projection (no Exchange, no Generate/explode before the result) —
+    the per-gram explode + per-doc window sort lives only in the
+    oracle twin — and is value-identical to that twin."""
+    import re
+
+    from ocr_spark.operators.dedup import winnow_docs, winnow_docs_exploded
+    from ocr_spark.plans.checks import count_exchanges, physical_plan
+    from ocr_spark.sources.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    nat = winnow_docs(d)
+    assert count_exchanges(nat) == 0
+    assert not re.search(r"\bGenerate\b", physical_plan(nat))
+    a = {r["doc_id"]: r["fps"] for r in nat.collect()}
+    b = {r["doc_id"]: r["fps"] for r in winnow_docs_exploded(d).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_winnow_short_docs_match_exploded(spark):
+    """Docs shorter than one full window (< k+w-1 chars) are dropped
+    by both formulations identically (the native path uses a pure
+    length predicate; the twin's frame filter drops them)."""
+    rows = [(1, ""), (2, "tiny"), (3, "elevenchars"), (4, "0123456789"),
+            (5, "a dozen chars plus some more to fingerprint")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    from ocr_spark.operators.dedup import winnow_docs, winnow_docs_exploded
+
+    a = {r["doc_id"]: r["fps"] for r in winnow_docs(d).collect()}
+    b = {r["doc_id"]: r["fps"] for r in winnow_docs_exploded(d).collect()}
+    assert a == b
+    assert set(a) == {3, 5}  # 11 chars = exactly one window; 10 → none
+
+
 def test_keyset_pagination_no_global_sort(spark):
     """The keyset page plans as TakeOrderedAndProject (per-partition
     top-k) with the key predicate pushed to the scan — no Exchange, no
