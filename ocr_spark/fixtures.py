@@ -289,6 +289,29 @@ def gen_transcripts(sf: float, seed: int = 42) -> pd.DataFrame:
     return df
 
 
+def write_replicated_transcripts(dst: str, src_path: str, replication: int) -> str:
+    """Replicate a transcripts parquet ``replication``× with remapped
+    conv_ids (``r{k}-`` prefix). Used by the bench harness to scale the
+    measured input: per-conversation sizes (and therefore the skew
+    structure) are preserved exactly, each replica just adds disjoint
+    conversations. Deterministic — pure column arithmetic on the
+    already-deterministic source fixture."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(src_path)
+    idx = src.schema.get_field_index("conv_id")
+    parts = []
+    for r in range(replication):
+        conv = pc.binary_join_element_wise(
+            pa.scalar(f"r{r}-"), src.column("conv_id").cast(pa.string()), ""
+        )
+        parts.append(src.set_column(idx, "conv_id", conv))
+    pq.write_table(pa.concat_tables(parts), dst, row_group_size=2000)
+    return dst
+
+
 def write_transcripts(path: str, sf: float, seed: int = 42) -> str:
     """Write the fixture table as parquet; returns the path."""
     import pyarrow as pa

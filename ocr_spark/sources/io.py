@@ -5,8 +5,10 @@ the directory scan + extension filter (S1, ``OCR API 2/main.py:42-72``)
 becomes a table read with a predicate; the Socket.IO sink (S5) becomes
 the output table + lineage manifest. One interface so the job code is
 identical whether the catalog is Iceberg (production) or bare parquet
-paths (this sandbox has no Iceberg runtime JAR — detected by name
-shape, not by try/except at task time).
+paths: path-vs-identifier picks the surface by name shape, and
+identifier writes branch on a one-time classloader probe for the
+Iceberg runtime (plans/session.iceberg_runtime_available) — never a
+try/except at task time.
 """
 
 from __future__ import annotations
@@ -35,17 +37,31 @@ def _is_path(source: str) -> bool:
 
 
 def read_input(spark: SparkSession, source: str) -> DataFrame:
-    """Read a table. A path reads as parquet; a dotted identifier
-    without '/' reads as an Iceberg table (runtime JAR + catalog on a
-    real cluster; same call signature here)."""
+    """Read a table. A path reads as parquet; an identifier without
+    '/' resolves through the session's catalog — with the Iceberg
+    runtime on the classpath and a catalog configured, that IS the
+    Iceberg table (snapshot-isolated scan); otherwise the session
+    catalog's managed table. One call signature either way, so job
+    code is identical on the production catalog and in this sandbox."""
     if not _is_path(source):
-        return spark.read.format("iceberg").load(source)
+        return spark.table(source)
     return spark.read.parquet(source)
 
 
 def write_output(df: DataFrame, dest: str, mode: str = "overwrite") -> None:
+    """Write a table. A path writes parquet; an identifier routes by
+    runtime: with Iceberg available, a DataSourceV2 ``writeTo(...)
+    createOrReplace`` (an atomic Iceberg snapshot commit — the real
+    deployment's transactional sink); without it, a session-catalog
+    managed parquet table via ``saveAsTable`` (the V1 path — the
+    session catalog does not support v2 REPLACE TABLE)."""
+    from ocr_spark.plans.session import iceberg_runtime_available
+
     if not _is_path(dest):
-        df.writeTo(dest).createOrReplace()
+        if iceberg_runtime_available(df.sparkSession):
+            df.writeTo(dest).using("iceberg").createOrReplace()
+        else:
+            df.write.mode(mode).saveAsTable(dest)
     else:
         df.write.mode(mode).parquet(dest)
 
