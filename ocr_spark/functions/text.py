@@ -128,6 +128,57 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     return F.array_distinct(F.slice(res, 1, count))
 
 
+def dup_line_frac(c: Column) -> Column:
+    """Duplicate-line fraction (a Gopher-style repetition signal,
+    public): 1 - distinct_lines/lines. Integer counts + one double
+    division → engine-portable. SQL twin:
+    1 - len(list_distinct(str_split(x, chr(10)))) / CAST(len(...) AS DOUBLE)."""
+    lines = F.split(c, "\n")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6
+    )
+
+
+def top_bigram_frac(c: Column) -> Column:
+    """Share of all word-bigrams taken by the single most frequent one
+    (the Gopher top-n-gram repetition filter's n=2 case, public).
+
+    Zero-shuffle formulation: bigrams by zipping shifted token slices
+    (the ``word_shingles`` anti-capture pattern), then the max group
+    count as a RUN-LENGTH MAX over the *sorted* bigram array inside one
+    ``aggregate`` — the accumulator is a bound variable, so the
+    per-element struct updates can't re-trigger upstream evaluation.
+    The DuckDB twin computes the same value by explode + GROUP BY
+    count + max: two genuinely different algorithms agreeing on the
+    result, which is what the oracle is for."""
+    w = tokens(c)
+    n_bg = F.greatest(F.size(w) - F.lit(1), F.lit(0))
+    bigrams = F.slice(
+        F.zip_with(
+            w,
+            F.slice(w, 2, F.size(w)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        1,
+        n_bg,
+    )
+    best = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )["best"]
+    return F.round(F.when(n_bg > 0, best / n_bg).otherwise(F.lit(0.0)), 6)
+
+
 # BPE-ish subword-count estimator: words + standalone punctuation,
 # long words counted once per 4 chars (public rule-of-thumb for BPE
 # vocab token inflation). SQL twin mirrors the same two regexp counts.

@@ -206,6 +206,57 @@ def progress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN, an operator Spark has no native keyword for: each
+    'click' event is joined to the user's most recent purchase at or
+    before it (J2's correlation join generalized to event-time
+    alignment — the shape every feature-backfill / point-in-time-
+    correctness pipeline needs).
+
+    Implemented as a cumulative last-non-null window over the UNIONED
+    event stream ordered by (ts, event_id): ONE shuffle on user_id and
+    a linear scan per user — never the range-join candidate explosion
+    a naive ``b.ts <= a.ts`` join produces (at 100 TB that join is
+    quadratic per user; this stays O(n log n) sort-bounded). Total
+    order (ts, event_id) makes the pick deterministic under ties."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_p = F.col("event_type") == "purchase"
+    pval = F.last(F.when(is_p, F.col("value")), ignorenulls=True).over(w)
+    pid = F.last(F.when(is_p, F.col("event_id")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("last_purchase_event", pid)
+        .withColumn("last_purchase_value", F.round(pval, 6))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "last_purchase_event", "last_purchase_value")
+    )
+
+
+def source_quota_sample(
+    spark: SparkSession, sf_dir: str, per_source: int = 10
+) -> DataFrame:
+    """Per-source document quota (the domain-cap step of a pretraining
+    mix: no single source may contribute more than K docs). Selection
+    is a deterministic hash order — row_number over md5(doc_id) within
+    each source — so the sample is reproducible and unbiased by
+    ingestion order. One shuffle on source; at extreme source skew the
+    window sort is bounded per partition, and AQE's skew split handles
+    a hot source (the selection itself only ever keeps K rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_source)
+        .select("doc_id", "source", "rn")
+    )
+
+
 # --------------------------------------------------------------------------
 # Pagination / dedup (SURVEY J4/J5)
 # --------------------------------------------------------------------------

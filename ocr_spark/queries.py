@@ -110,6 +110,19 @@ def q_mode_ties_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.mode_event_type_ties_null(spark, sf_dir)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc (zero-shuffle scalar
+    expressions: functions/text.dup_line_frac, top_bigram_frac)."""
+    from ocr_spark.functions.text import dup_line_frac, top_bigram_frac
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        dup_line_frac(F.col("text")).alias("dup_line_frac"),
+        top_bigram_frac(F.col("text")).alias("top_bigram_frac"),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
 
@@ -385,6 +398,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_rollup": R.revenue_rollup,
     "revenue_cube": R.revenue_cube,
     "sessionize_events": R.sessionize_events,
+    "asof_last_purchase": R.asof_last_purchase,
+    "source_quota_sample": R.source_quota_sample,
+    "repetition_stats": q_repetition,
     "format_tons": R.format_tons,
     "embedding_components": q_embedding_components,
     # text analysis (training-data ops)
@@ -1070,6 +1086,54 @@ SELECT user_id,
        CAST(max(session_id) + 1 AS INTEGER) AS n_sessions,
        max(n_events) AS max_session_events
 FROM per GROUP BY user_id
+""",
+    # as-of join: identical cumulative-window formulation (the Spark
+    # side has no native ASOF keyword; DuckDB does, but the window
+    # formulation is the one whose tie-order is explicit)
+    "asof_last_purchase": """
+WITH s AS (
+  SELECT event_id, user_id, event_type,
+    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_event,
+    round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS last_purchase_value
+  FROM events
+)
+SELECT event_id, user_id, last_purchase_event, last_purchase_value
+FROM s WHERE event_type = 'click'
+""",
+    "source_quota_sample": """
+SELECT doc_id, source, rn FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INTEGER) AS rn
+  FROM documents
+) WHERE rn <= 10
+""",
+    # repetition signals: the Spark side is a zero-shuffle run-length
+    # max over the sorted bigram array; this twin explodes + GROUP BY
+    # counts — two different algorithms, same value
+    "repetition_stats": r"""
+WITH l AS (
+  SELECT doc_id,
+         round(1 - len(list_distinct(str_split(text, chr(10))))
+                   / CAST(len(str_split(text, chr(10))) AS DOUBLE), 6) AS dup_line_frac
+  FROM documents
+),
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS b
+  FROM t
+),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS total FROM cnt GROUP BY 1)
+SELECT l.doc_id, l.dup_line_frac,
+       round(coalesce(mc / CAST(total AS DOUBLE), 0.0), 6) AS top_bigram_frac
+FROM l LEFT JOIN mx USING (doc_id)
 """,
     "format_tons": r"""
 WITH k AS (

@@ -194,6 +194,31 @@ def test_transaction_pivot_single_shuffle(spark):
     assert count_exchanges(transaction_pivot(df)) == 1
 
 
+def test_asof_join_single_shuffle_no_range_explosion(spark):
+    """The as-of join is a cumulative window over the unioned stream:
+    exactly one Exchange (user_id), no join operator at all — never
+    the quadratic range-join candidate explosion."""
+    from ocr_spark.operators.relational import asof_last_purchase
+    from ocr_spark.plans.checks import count_exchanges, physical_plan
+
+    df = asof_last_purchase(spark, SF_DIR)
+    assert count_exchanges(df) == 1
+    assert "Join" not in physical_plan(df)
+
+
+def test_repetition_stats_zero_shuffle(spark):
+    """Both repetition signals are per-row scalar expressions: the
+    whole query is scan + project, no Exchange, no Generate."""
+    import re
+
+    from ocr_spark.plans.checks import count_exchanges, physical_plan
+    from ocr_spark.queries import q_repetition
+
+    df = q_repetition(spark, SF_DIR)
+    assert count_exchanges(df) == 0
+    assert not re.search(r"\bGenerate\b", physical_plan(df))
+
+
 def test_corpus_filter_single_shuffle(spark):
     """The cleaning chain (lang + quality + dedup keeper) is scan +
     one Exchange (the fingerprint window); gates stay predicates."""
