@@ -2,6 +2,7 @@
 
 from ocr_spark.streaming.extract_stream import (
     run_stream_once,
+    streaming_dedup,
     streaming_extract,
     windowed_turn_counts,
 )
@@ -9,6 +10,7 @@ from ocr_spark.streaming.stateful import conv_progress_stream
 
 __all__ = [
     "streaming_extract",
+    "streaming_dedup",
     "windowed_turn_counts",
     "run_stream_once",
     "conv_progress_stream",

@@ -64,6 +64,33 @@ def windowed_turn_counts(
     )
 
 
+def streaming_dedup(
+    spark: SparkSession, input_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: the streaming twin of ``dedup_exact`` /
+    the reference's dedup-on-append (J5, ``App.jsx:63-83``) — each
+    normalized-text fingerprint survives once per watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys state by fingerprint and
+    EVICTS entries older than the watermark, so state is bounded by
+    the duplicate-arrival horizon rather than corpus size — the only
+    shape that works on an unbounded stream (a plain dropDuplicates
+    would grow state forever). Shuffles once on fp, like the batch
+    operator."""
+    from ocr_spark.functions.text import fingerprint
+
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 def run_stream_once(
     df: DataFrame, output_dir: str, checkpoint_dir: str, mode: str = "append"
 ) -> None:

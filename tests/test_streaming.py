@@ -72,6 +72,38 @@ def test_windowed_turn_counts(spark, transcripts_path, tmp_path):
     assert spark.sql("SELECT count(*) AS c FROM wincounts").collect()[0]["c"] == batch
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keyed on the text fingerprint:
+    duplicates arriving across microbatches within the horizon are
+    dropped; exactly one survivor per distinct normalized text."""
+    from datetime import datetime, timedelta
+
+    from ocr_spark.streaming import run_stream_once, streaming_dedup
+
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    texts = ["alpha beta gamma", "delta epsilon", "ALPHA  beta gamma", "zeta"]
+    # 12 rows / 4 normalized-distinct texts ("ALPHA  beta gamma"
+    # normalizes to the same fingerprint as texts[0]) within 10 minutes
+    rows = [
+        (f"c{i}", 0, "user", texts[i % 4], None, base + timedelta(seconds=30 * i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    src = str(tmp_path / "dsrc")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    run_stream_once(streaming_dedup(spark, src), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # texts[0]≡texts[2] under normalization
+    assert got.select("fp").distinct().count() == 3
+    # exactly-once restart: draining again adds nothing
+    run_stream_once(streaming_dedup(spark, src), out, ckpt)
+    assert spark.read.parquet(out).count() == 3
+
+
 def test_stateful_conv_progress(spark, transcripts_path, tmp_path):
     """applyInPandasWithState: running per-conversation totals carried
     across microbatches; the final update per conv equals the batch
