@@ -179,6 +179,34 @@ def top_bigram_frac(c: Column) -> Column:
     return F.round(F.when(n_bg > 0, best / n_bg).otherwise(F.lit(0.0)), 6)
 
 
+def chunk_structs(c: Column, window: int = 40, stride: int = 20) -> Column:
+    """Overlapping token-window chunks as an array of
+    (chunk_text, n_tokens) structs — the context-window preparation
+    step of a training/RAG pipeline. Starts at 0, stride, 2·stride, …
+    < n_tokens; tail chunks shorter than ``window`` are kept (nothing
+    is silently dropped).
+
+    The token array is computed ONCE and bound via the single-element-
+    array ``aggregate`` wrapper (the ``_winnow_fps_expr`` pattern): a
+    plain transform would re-tokenize per chunk under Catalyst's
+    lambda capture. SQL twin: range(0, len(w), stride) + list slices.
+    """
+    w = tokens(c)
+    return F.aggregate(
+        F.array(w),
+        F.array().cast("array<struct<chunk_text:string,n_tokens:int>>"),
+        lambda acc, wb: F.transform(
+            F.sequence(F.lit(0), F.size(wb) - F.lit(1), F.lit(stride)),
+            lambda s: F.struct(
+                F.array_join(F.slice(wb, s + 1, F.lit(window)), " ").alias(
+                    "chunk_text"
+                ),
+                F.least(F.lit(window), F.size(wb) - s).cast("int").alias("n_tokens"),
+            ),
+        ),
+    )
+
+
 # BPE-ish subword-count estimator: words + standalone punctuation,
 # long words counted once per 4 chars (public rule-of-thumb for BPE
 # vocab token inflation). SQL twin mirrors the same two regexp counts.

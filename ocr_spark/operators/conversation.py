@@ -57,6 +57,33 @@ def conv_rollup(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def sft_pairs(transcripts: DataFrame) -> DataFrame:
+    """Adjacent (user → assistant) turn pairs — the SFT-example
+    construction step of a transcripts training pipeline: each
+    assistant turn whose immediate predecessor (by turn_idx within the
+    conversation) is a user turn yields one (prompt, response) row.
+
+    One lag window per conversation (single shuffle on conv_id, same
+    partitioning every conv-level operator here shares); tool turns
+    and assistant-after-assistant turns produce no pair, by design."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc())
+    out = (
+        transcripts.withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("prev_text", F.lag("text").over(w))
+        .withColumn("prev_idx", F.lag("turn_idx").over(w))
+        .filter((F.col("role") == "assistant") & (F.col("prev_role") == "user"))
+    )
+    return out.select(
+        "conv_id",
+        F.col("prev_idx").alias("prompt_turn_idx"),
+        F.col("turn_idx").alias("response_turn_idx"),
+        F.col("prev_text").alias("prompt"),
+        F.col("text").alias("response"),
+    )
+
+
 def conv_rollup_grouped(transcripts: DataFrame) -> DataFrame:
     """Grouped-map (applyInPandas) version: per-conversation pandas
     frame in turn order → one output row. Arrow-batched; one shuffle."""

@@ -357,6 +357,25 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(to_media_table(_docs(spark, sf_dir)))
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (context-window prep): one row per
+    overlapping chunk, tail chunks kept short."""
+    from ocr_spark.functions.text import chunk_structs
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.posexplode(chunk_structs(F.col("text"))).alias("chunk_idx", "c")
+    ).select("doc_id", "chunk_idx", F.col("c.chunk_text"), F.col("c.n_tokens"))
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user → assistant) SFT pairs over the transcripts fixture."""
+    from ocr_spark.operators.conversation import sft_pairs
+
+    df = spark.read.parquet(transcripts_fixture_path(_sf_of(sf_dir)))
+    return sft_pairs(df)
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-copy pairs via shared rare winnowing fingerprints."""
     from ocr_spark.operators.dedup import winnow_overlap_pairs
@@ -401,6 +420,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_purchase": R.asof_last_purchase,
     "source_quota_sample": R.source_quota_sample,
     "repetition_stats": q_repetition,
+    "chunk_docs": q_chunk_docs,
+    "sft_pairs": q_sft_pairs,
     "format_tons": R.format_tons,
     "embedding_components": q_embedding_components,
     # text analysis (training-data ops)
@@ -732,6 +753,7 @@ def pipeline_oracle_overrides(sf: float, sf_dir: str) -> dict[str, str]:
         "extract_fields": f"SELECT * FROM read_parquet('{fld}')",
         "transaction_pivot": _transaction_pivot_sql(fld),
         "conv_rollup": _conv_rollup_sql(_transcripts_fixture_sql_path(sf)),
+        "sft_pairs": _sft_pairs_sql(_transcripts_fixture_sql_path(sf)),
     }
 
 
@@ -762,6 +784,26 @@ SELECT conv_id,
   {firsts},
   {slots}
 FROM staged GROUP BY conv_id
+"""
+
+
+def _sft_pairs_sql(transcripts_path: str | None = None) -> str:
+    return f"""
+WITH lagged AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER w AS prev_role,
+         lag(text) OVER w AS prev_text,
+         lag(turn_idx) OVER w AS prev_idx
+  FROM read_parquet('{transcripts_path or _transcripts_fixture_sql_path()}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx ASC)
+)
+SELECT conv_id,
+       prev_idx AS prompt_turn_idx,
+       turn_idx AS response_turn_idx,
+       prev_text AS prompt,
+       text AS response
+FROM lagged
+WHERE role = 'assistant' AND prev_role = 'user'
 """
 
 
@@ -1331,9 +1373,26 @@ FROM documents
     "extract_documents": f"SELECT * FROM read_parquet('{_XD_PATH}')",
     "extract_fields": f"SELECT * FROM read_parquet('{_FLD_PATH}')",
     "transaction_pivot": _transaction_pivot_sql(),
-    # conv_rollup: plain SQL over the same transcripts parquet the
-    # Spark side reads — no Python oracle involved at all
+    # conv_rollup / sft_pairs: plain SQL over the same transcripts
+    # parquet the Spark side reads — no Python oracle involved at all
     "conv_rollup": _conv_rollup_sql(),
+    "sft_pairs": _sft_pairs_sql(),
+    # chunking: range(0, n, stride) starts + list slices — mirrors
+    # chunk_structs (tail chunks shorter than the window are kept)
+    "chunk_docs": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, w, CAST(unnest(range(0, len(w), 20)) AS INTEGER) AS start
+  FROM t
+)
+SELECT doc_id,
+       start // 20 AS chunk_idx,
+       array_to_string(w[start + 1 : start + 40], ' ') AS chunk_text,
+       CAST(least(40, len(w) - start) AS INTEGER) AS n_tokens
+FROM s
+""",
     # multimodal: the deterministic decode stub is sha256/md5-derived,
     # so the oracle recomputes it natively in SQL
     "multimodal_features": _multimodal_features_sql(),

@@ -219,6 +219,26 @@ def test_repetition_stats_zero_shuffle(spark):
     assert not re.search(r"\bGenerate\b", physical_plan(df))
 
 
+def test_chunk_docs_zero_shuffle(spark):
+    """Chunking is scan → one bound-array projection → posexplode:
+    no Exchange anywhere (the chunk fan-out is pipelined)."""
+    from ocr_spark.plans.checks import count_exchanges
+    from ocr_spark.queries import q_chunk_docs
+
+    assert count_exchanges(q_chunk_docs(spark, SF_DIR)) == 0
+
+
+def test_sft_pairs_single_shuffle(spark, transcripts_path):
+    """SFT pair construction is one lag window: a single conv_id
+    Exchange, no join."""
+    from ocr_spark.operators.conversation import sft_pairs
+    from ocr_spark.plans.checks import count_exchanges, physical_plan
+
+    df = sft_pairs(spark.read.parquet(transcripts_path))
+    assert count_exchanges(df) == 1
+    assert "Join" not in physical_plan(df)
+
+
 def test_corpus_filter_single_shuffle(spark):
     """The cleaning chain (lang + quality + dedup keeper) is scan +
     one Exchange (the fingerprint window); gates stay predicates."""
