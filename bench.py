@@ -62,7 +62,7 @@ SCALING_MASTERS = ("local[2]", "local[8]", "local[32]")
 # interleaved A/B rounds (noisy-neighbor / cpu-credit box). 4 rounds
 # × ~60-90 s keeps the whole bench inside ~8 min now that the scaling
 # input is 3×; alternation needs an even count anyway.
-N_ROUNDS = 4
+N_ROUNDS = 5
 # The scaling pair runs on a 3×-replicated input (conv_ids remapped,
 # skew structure preserved): at 1× the ~2-3 s of fixed per-run cost
 # (job planning, the salt pre-pass's own job, output commit) was ~25%

@@ -207,6 +207,35 @@ def chunk_structs(c: Column, window: int = 40, stride: int = 20) -> Column:
     )
 
 
+# PII patterns, written to the common subset of Java regex (Spark) and
+# RE2 (DuckDB): no lookaround, no backreferences. \b and bounded
+# repetition are supported identically by both.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) match counts. SQL twin:
+    len(regexp_extract_all(x, pat)) per pattern."""
+    return (
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("int"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("int"),
+        F.regexp_count(c, F.lit(PII_IP_RE)).cast("int"),
+    )
+
+
+def pii_redact(c: Column) -> Column:
+    """Replace every PII match with a typed placeholder. Email first:
+    its local part may contain digits/dots that the later numeric
+    patterns could otherwise nibble at. SQL twin: the same three
+    regexp_replace calls with the 'g' flag (DuckDB replaces only the
+    first match by default; Spark replaces all)."""
+    out = F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
+    return F.regexp_replace(out, PII_IP_RE, "[IP]")
+
+
 # BPE-ish subword-count estimator: words + standalone punctuation,
 # long words counted once per 4 chars (public rule-of-thumb for BPE
 # vocab token inflation). SQL twin mirrors the same two regexp counts.

@@ -1,0 +1,198 @@
+"""Corpus-level training-data operators: benchmark decontamination,
+TF-IDF salient terms, exact length percentiles, vocabulary statistics,
+and deterministic train/val/test splits.
+
+All pure Catalyst expressions (no Python UDFs) following the engine's
+portability rules (see ocr_spark/queries.py module docstring): md5-hex
+hashes only, integer counts, single IEEE divisions — every operator has
+a bit-identical DuckDB oracle.
+
+Scale design (the 100 TB story):
+
+- **decontamination**: the eval-benchmark side is *small by nature*
+  (a benchmark is curated, bounded data), so its distinct shingle set
+  is collapsed to one array row and broadcast — the corpus pass is then
+  MAP-ONLY (``array_intersect`` per doc, zero shuffle, zero explode of
+  the corpus shingle stream). For eval sets too big for a single array
+  (>~10^6 shingles), flip to the explode + broadcast-hash-join + re-agg
+  shape (one shuffle) — same semantics, noted below.
+- **tf-idf**: two partial-aggregated shuffles (term frequencies, doc
+  frequencies); the document-frequency table is vocabulary-sized and
+  broadcast back, so the scoring join is map-side; top-k per doc is one
+  window on doc_id.
+- **percentiles**: histogram-based exact percentiles — aggregate to
+  (group, value) counts first (map-side combine shrinks the shuffle to
+  #distinct values), then a cumulative window over the *tiny* histogram.
+  Never sorts the raw rows; integer-only rank arithmetic (cum*10 >= p*total)
+  avoids float thresholds. At 100 TB this beats both a global sort and
+  percentile_disc-over-rows, and stays exact (approx_percentile is the
+  lossy alternative, not needed).
+- **vocab stats**: explode → one partially-aggregated shuffle on term →
+  scalar re-agg of the vocabulary-sized table.
+- **splits**: stateless md5 bucket per row — map-only, reproducible
+  across runs/engines, no coordination (the property a 1000-executor
+  split assignment needs).
+
+Reference lineage: the reference has no corpus-level ops (single-doc
+service); these generalize its routing/fingerprint semantics
+(``OCR API 2/ocr_utils.py:15-41`` classify, J5 dedup-on-append) to the
+corpus-preparation operations the north brief adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import token_count, tokens
+from ocr_spark.operators.dedup import shingle_arrays
+
+DEFAULT_EVAL_MOD = 41  # doc_id % mod == 0 designates the held-out eval docs
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    eval_mod: int = DEFAULT_EVAL_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with the held-out eval slice (docs with id % eval_mod == 0
+    stand in for a benchmark table; swap the filter for a real eval
+    DataFrame in production).
+
+    Output (doc_id, n_eval_shingles, contaminated) over the NON-eval
+    docs. Map-only over the corpus: the eval shingle set is one
+    broadcast array row, matched per-doc with ``array_intersect`` —
+    the corpus-side shingle stream is never exploded or shuffled."""
+    sh = shingle_arrays(df, text_col, id_col, n)
+    eval_arr = (
+        sh.filter(F.col("id") % eval_mod == 0)
+        .select(F.explode("sh_arr").alias("s"))
+        .agg(F.array_sort(F.collect_set("s")).alias("eval_sh"))
+    )
+    return (
+        sh.filter(F.col("id") % eval_mod != 0)
+        .crossJoin(F.broadcast(eval_arr))
+        .select(
+            F.col("id").alias(id_col),
+            F.size(F.array_intersect("sh_arr", "eval_sh"))
+            .cast("long")
+            .alias("n_eval_shingles"),
+        )
+        .withColumn(
+            "contaminated", (F.col("n_eval_shingles") > 0).cast("int")
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k salient terms per document by tf·(N/df) — the tf-idf
+    ranking with a ratio idf (no log), keeping the score a single
+    IEEE division + multiplication of exact integers so both engines
+    agree bit-for-bit. Ranking ties break on the term string.
+
+    Output (doc_id, term, tf, dfreq, score, rn)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs") / F.col("dfreq")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "dfreq", "score", "rn")
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Exact p50/p90 of per-doc token counts per group, histogram
+    formulation: aggregate to (group, n_tokens) counts (map-side
+    combine → shuffle carries #distinct values, not #docs), cumulative
+    window over that tiny histogram, then integer-rank pick
+    (percentile_disc semantics: smallest value whose cumulative count
+    reaches ceil(p·total), expressed as cum·10 >= p·10·total — no
+    floats anywhere).
+
+    Output (group, n_docs, p50_tokens, p90_tokens)."""
+    from pyspark.sql.window import Window
+
+    hist = (
+        df.select(F.col(group_col).alias("grp"), token_count(F.col(text_col)).alias("n"))
+        .groupBy("grp", "n")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+    return cum.groupBy("grp").agg(
+        F.max("total").alias("n_docs"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("total") * 5, F.col("n"))).alias(
+            "p50_tokens"
+        ),
+        F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("n"))).alias(
+            "p90_tokens"
+        ),
+    ).withColumnRenamed("grp", group_col)
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary statistics in one row: total token count,
+    distinct term count, hapax legomena count and fraction. One
+    partially-aggregated shuffle on term, then a scalar re-agg of the
+    vocabulary-sized table."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    return counts.agg(
+        F.sum("c").alias("n_total_tokens"),
+        F.count("*").alias("n_distinct_terms"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    ).withColumn(
+        "hapax_frac",
+        F.round(F.col("n_hapax") / F.col("n_distinct_terms"), 6),
+    )
+
+
+def train_val_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_lt: int = 230,
+    val_lt: int = 243,
+) -> DataFrame:
+    """Deterministic hash split: first md5 byte of the id buckets each
+    doc into train (<230 ≈ 90%), val (<243 ≈ 5%), test (rest ≈ 5%).
+    Stateless and engine-portable — the same doc lands in the same
+    split on any cluster, any run, any engine (the reproducibility
+    property a distributed split assignment needs; no sampling RNG).
+
+    Output (doc_id, bucket, split)."""
+    b = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    return df.select(
+        F.col(id_col),
+        b.alias("bucket"),
+    ).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_lt, "train")
+        .when(F.col("bucket") < val_lt, "val")
+        .otherwise("test"),
+    )

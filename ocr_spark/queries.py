@@ -36,6 +36,9 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import (
     LANG_PRIORITY,
+    PII_EMAIL_RE as _PII_EMAIL,
+    PII_IP_RE as _PII_IP,
+    PII_PHONE_RE as _PII_PHONE,
     STOPWORDS,
     char_count,
     fingerprint,
@@ -392,6 +395,95 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("doc_id", F.array_join("fps", ",").alias("fps"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: shared word-3-grams vs the held-out
+    eval slice (doc_id % 41 == 0), map-only corpus pass."""
+    from ocr_spark.operators.corpus import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import length_percentiles
+
+    return length_percentiles(_docs(spark, sf_dir))
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir))
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import train_val_split
+
+    return train_val_split(_docs(spark, sf_dir))
+
+
+def _pii_augmented_text() -> "F.Column":
+    """The synthetic documents carry no PII, so the pii_scrub surface
+    appends deterministic PII spans first (emails to 1 in 5 docs,
+    phones to another fifth, IPs to a third) — the SAME augmentation
+    expression runs in the DuckDB oracle, so detection/redaction is
+    exercised on real hits, not vacuously on zero matches."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((did * 3) % 10000).cast("string"), 4, "0"),
+                F.lit(" office"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit(" node 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+                F.lit(" up"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails/phones/IPv4) over the
+    deterministically augmented text — map-only scalar regex work."""
+    from ocr_spark.functions.text import pii_counts, pii_redact
+
+    d = _docs(spark, sf_dir).select("doc_id", _pii_augmented_text().alias("t"))
+    n_emails, n_phones, n_ips = pii_counts(F.col("t"))
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        pii_redact(F.col("t")).alias("redacted"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational operator suite (SURVEY §2.5/2.6 mappings)
     "q1_pricing_summary": R.pricing_summary,
@@ -457,6 +549,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "winnow_docs": q_winnow,
     "winnow_overlap": q_winnow_overlap,
+    # corpus-level training-data ops
+    "decontaminate_docs": q_decontaminate,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "length_percentiles": q_length_percentiles,
+    "vocab_stats": q_vocab_stats,
+    "train_val_split": q_train_val_split,
+    "pii_scrub": q_pii_scrub,
 }
 
 # ---------------------------------------------------------------------------
@@ -1398,4 +1497,108 @@ FROM s
     "multimodal_features": _multimodal_features_sql(),
     "multimodal_resize": _multimodal_resize_sql(),
     "multimodal_frames": _multimodal_frames_sql(),
+    # --- corpus-level training-data ops (operators/corpus.py) ---
+    # decontamination: eval slice = doc_id % 41 == 0; same distinct
+    # word-3-gram shingles as the dedup family
+    "decontaminate_docs": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shs
+  FROM toks
+),
+ev AS (
+  SELECT list_distinct(flatten(list(shs))) AS ev_sh
+  FROM sh WHERE doc_id % 41 = 0
+)
+SELECT doc_id,
+  CAST(len(list_intersect(shs, ev_sh)) AS BIGINT) AS n_eval_shingles,
+  CASE WHEN len(list_intersect(shs, ev_sh)) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM sh, ev
+WHERE doc_id % 41 <> 0
+""",
+    # tf-idf with ratio idf (tf * (N/df)): exact-integer inputs, one
+    # IEEE division + one multiplication -> bit-identical score
+    "tfidf_top_terms": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf, dfreq, tf * (n_docs / dfreq) AS score
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, tf, dfreq, score, rn FROM (
+  SELECT scored.*, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INTEGER) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+    # exact histogram percentiles; integer rank arithmetic
+    # (cum*10 >= p*10*total) -- no float thresholds
+    "length_percentiles": f"""
+WITH h AS (
+  SELECT lang AS grp, len({_TOKS}) AS n, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+c AS (
+  SELECT grp, n, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY n
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY grp) AS total
+  FROM h
+)
+SELECT grp AS lang,
+  CAST(max(total) AS BIGINT) AS n_docs,
+  min(CASE WHEN cum * 10 >= total * 5 THEN n END) AS p50_tokens,
+  min(CASE WHEN cum * 10 >= total * 9 THEN n END) AS p90_tokens
+FROM c GROUP BY grp
+""",
+    "vocab_stats": f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+c AS (SELECT term, count(*) AS c FROM toks GROUP BY 1)
+SELECT CAST(sum(c) AS BIGINT) AS n_total_tokens,
+       count(*) AS n_distinct_terms,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS hapax_frac
+FROM c
+""",
+    # deterministic md5-byte split (train <230, val <243, test rest)
+    "train_val_split": f"""
+WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+b AS (SELECT doc_id, CAST({_sha_byte('m', 0)} AS INTEGER) AS bucket FROM h)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 230 THEN 'train'
+       WHEN bucket < 243 THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+""",
+    # PII scrub over the deterministically augmented text (see
+    # _pii_augmented_text) -- patterns written to the Java-regex /
+    # RE2 common subset; DuckDB regexp_replace needs the 'g' flag
+    "pii_scrub": """
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE doc_id % 5
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com for details'
+      WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                  || ' office'
+      WHEN 2 THEN ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up'
+      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '""" + _PII_EMAIL + """')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(t, '""" + _PII_PHONE + """')) AS INTEGER) AS n_phones,
+  CAST(len(regexp_extract_all(t, '""" + _PII_IP + """')) AS INTEGER) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '""" + _PII_EMAIL + """', '[EMAIL]', 'g'),
+    '""" + _PII_PHONE + """', '[PHONE]', 'g'),
+    '""" + _PII_IP + """', '[IP]', 'g') AS redacted
+FROM aug
+""",
 }

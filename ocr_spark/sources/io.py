@@ -103,6 +103,26 @@ def validate_input_schema(df: DataFrame, required: dict[str, str]) -> None:
         raise SchemaMismatch("; ".join(problems))
 
 
+def write_jsonl(df: DataFrame, dest: str, mode: str = "overwrite") -> None:
+    """JSONL sink — the interchange format of training-data pipelines
+    (one JSON object per line; Spark's json writer IS line-delimited).
+    Partition-parallel: one file per task, no coalesce — at corpus
+    scale the shard-per-partition layout is the point, downstream
+    loaders glob the directory."""
+    df.write.mode(mode).json(dest)
+
+
+def read_jsonl(spark: SparkSession, source: str, schema: str | None = None) -> DataFrame:
+    """JSONL source. Pass an explicit DDL ``schema`` at scale —
+    omitting it makes Spark run a full inference pre-pass over the
+    data (a second scan of 100 TB); with a schema the read is a single
+    streaming pass with column pruning."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(source)
+
+
 def write_transaction_report(pivot_df: DataFrame, dest: str) -> None:
     """Transaction report sink (SURVEY S8's DATA content — the
     reference renders the same per-transaction wide rows into a styled

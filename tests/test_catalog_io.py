@@ -46,6 +46,30 @@ def test_identifier_roundtrip_via_session_catalog(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_jsonl_roundtrip_sft_pairs(spark, transcripts_path, tmp_path):
+    """SFT pairs export to JSONL (the training-data interchange format)
+    and read back with an explicit schema — no inference pre-pass, and
+    the values survive the round trip exactly."""
+    import os
+
+    from ocr_spark.operators.conversation import sft_pairs
+    from ocr_spark.sources.io import read_jsonl, write_jsonl
+
+    pairs = sft_pairs(spark.read.parquet(transcripts_path))
+    dest = str(tmp_path / "sft.jsonl")
+    write_jsonl(pairs, dest)
+    # line-delimited shards, one per task — no coalesce
+    shards = [f for f in os.listdir(dest) if f.startswith("part-")]
+    assert shards
+    with open(os.path.join(dest, shards[0])) as fh:
+        first = fh.readline()
+    assert first.startswith("{") and first.rstrip().endswith("}")
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema)
+    back = read_jsonl(spark, dest, schema=schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, pairs.collect()))
+
+
 def test_identifier_roundtrip_via_iceberg(spark, tmp_path):
     """The production branch: an atomic Iceberg snapshot commit via
     writeTo().createOrReplace(). Runs only where the runtime JAR is on
