@@ -171,6 +171,101 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def source_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus diagnostics: doc count, distinct languages,
+    distinct normalized texts (exact-dup check), majority language and
+    its fraction, mean chars. The (source, lang) aggregate and the
+    per-source aggregate are both partially aggregated map-side, so
+    each shuffle carries #keys rows, not #docs; the two key-sized
+    results meet in a broadcast join. Ratios are single IEEE divisions
+    of exact integers (bit-identical cross-engine); majority-lang ties
+    break lexicographically (the A5 mode rule).
+
+    Output (source, n_docs, n_langs, n_unique_texts, top_lang,
+    top_lang_frac, avg_chars)."""
+    from pyspark.sql.window import Window
+
+    from ocr_spark.functions.text import fingerprint
+
+    per_lang = df.groupBy(source_col, lang_col).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(source_col).orderBy(F.desc("cnt"), F.asc(lang_col))
+    top = (
+        per_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            source_col,
+            F.col(lang_col).alias("top_lang"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+    tot = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.countDistinct(fingerprint(F.col(text_col))).alias("n_unique_texts"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return tot.join(F.broadcast(top), source_col).select(
+        source_col,
+        "n_docs",
+        "n_langs",
+        "n_unique_texts",
+        "top_lang",
+        F.round(F.col("top_cnt") / F.col("n_docs"), 6).alias("top_lang_frac"),
+        F.round(F.col("sum_chars") / F.col("n_docs"), 6).alias("avg_chars"),
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    max_sources: int = 10,
+) -> DataFrame:
+    """Cross-source contamination matrix: for each source pair, the
+    number of distinct word n-gram shingles both emit — the mirror /
+    syndicated-content detector for multi-crawl corpora. Inverted-index
+    shape: distinct (shingle, source) postings, a count window on the
+    same key bounds each posting list to ``max_sources`` (shingles in
+    nearly every source carry no dup signal and would dominate the
+    join fan-out — the identical skew guard as LSH's ``max_bucket``),
+    then a per-shingle self-join grouped to the #sources²-sized matrix.
+    Per-shingle fan-out is hard-capped at C(max_sources, 2).
+
+    Output (source_a, source_b, n_shared_shingles)."""
+    from pyspark.sql.window import Window
+
+    from ocr_spark.functions.text import word_shingles
+
+    postings = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("s")
+    bounded = (
+        postings.withColumn("n_src", F.count(F.lit(1)).over(w))
+        .filter((F.col("n_src") >= 2) & (F.col("n_src") <= max_sources))
+        .select("src", "s")
+    )
+    return (
+        bounded.alias("a")
+        .join(bounded.alias("b"), "s")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
 def train_val_split(
     df: DataFrame,
     id_col: str = "doc_id",

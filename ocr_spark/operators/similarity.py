@@ -185,6 +185,70 @@ def label_centroid_count(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     )
 
 
+def _quant_code_expr(i: int, vec: str = "embedding", one_indexed: bool = False) -> str:
+    """Int8 code for component ``i`` against per-dim [mn_i, mx_i] stats:
+    floor((x - mn) / (mx - mn) * 256), clipped to 255 at x == mx, then
+    shifted to [-128, 127]. floor-then-cast is the cross-engine-safe
+    order — DuckDB rounds on CAST(double AS INT) while Spark truncates,
+    but both agree on an already-integral double. Degenerate dims
+    (mx == mn) code to 0."""
+    x = f"CAST({vec}[{i + 1 if one_indexed else i}] AS DOUBLE)"
+    return (
+        f"CASE WHEN mx_{i} = mn_{i} THEN 0 ELSE "
+        f"CAST(LEAST(255.0, FLOOR(({x} - mn_{i}) / (mx_{i} - mn_{i}) * 256.0)) AS INT)"
+        f" - 128 END"
+    )
+
+
+def quantize_embeddings(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the storage /
+    ANN-index compression step (4 bytes/float32 → 1 byte/component).
+    Two passes: a per-dimension min/max aggregate collapses to ONE
+    stats row (map-side combined — the shuffle carries one partial row
+    per task), broadcast back so the encode pass is map-only and
+    pipelines with the scan. The quantizer parameters being a
+    broadcast-sized artifact is exactly how a deployed int8 index
+    ships its calibration. All arithmetic is IEEE doubles + floor —
+    bit-identical cross-engine (see _quant_code_expr).
+
+    Output (vec_id, codes) with codes the comma-joined int8 values
+    (driver-surface scalar serialization)."""
+    stats = emb.agg(
+        *[
+            F.min(F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).alias(f"mn_{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.max(F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).alias(f"mx_{i}")
+            for i in range(dim)
+        ],
+    )
+    codes = [F.expr(_quant_code_expr(i)) for i in range(dim)]
+    return emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.concat_ws(",", *[c.cast("string") for c in codes]).alias("codes"),
+    )
+
+
+def quantize_sql(dim: int = EMB_DIM) -> str:
+    """The DuckDB twin of ``quantize_embeddings`` (1-indexed lists)."""
+    mins = ", ".join(
+        f"min(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn_{i}" for i in range(dim)
+    )
+    maxs = ", ".join(
+        f"max(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx_{i}" for i in range(dim)
+    )
+    codes = ", ".join(
+        f"CAST(({_quant_code_expr(i, one_indexed=True)}) AS VARCHAR)"
+        for i in range(dim)
+    )
+    return f"""
+WITH stats AS (SELECT {mins}, {maxs} FROM embeddings)
+SELECT vec_id, concat_ws(',', {codes}) AS codes
+FROM embeddings, stats
+"""
+
+
 def l2_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
     """Squared-L2 chain in SQL (1-indexed), same fold order as Spark."""
     return " + ".join(

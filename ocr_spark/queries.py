@@ -484,6 +484,22 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import cross_source_overlap
+
+    return cross_source_overlap(_docs(spark, sf_dir))
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantize_embeddings(_emb(spark, sf_dir))
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational operator suite (SURVEY §2.5/2.6 mappings)
     "q1_pricing_summary": R.pricing_summary,
@@ -556,6 +572,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_stats": q_vocab_stats,
     "train_val_split": q_train_val_split,
     "pii_scrub": q_pii_scrub,
+    "source_stats": q_source_stats,
+    "cross_source_overlap": q_cross_source_overlap,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 # ---------------------------------------------------------------------------
@@ -1601,4 +1620,46 @@ SELECT doc_id,
     '""" + _PII_IP + """', '[IP]', 'g') AS redacted
 FROM aug
 """,
+    # per-source diagnostics: majority-lang tie -> lexicographic
+    # (the A5 mode rule); ratios are single divisions of exact ints
+    "source_stats": f"""
+WITH pl AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+top AS (
+  SELECT source, lang AS top_lang, cnt AS top_cnt FROM (
+    SELECT pl.*, row_number() OVER (
+      PARTITION BY source ORDER BY cnt DESC, lang ASC) AS rn FROM pl
+  ) WHERE rn = 1
+),
+tot AS (
+  SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         count(DISTINCT {_FP_SQL}) AS n_unique_texts,
+         sum(n_chars) AS sum_chars
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, n_langs, n_unique_texts, top_lang,
+  round(top_cnt / n_docs, 6) AS top_lang_frac,
+  round(sum_chars / n_docs, 6) AS avg_chars
+FROM tot JOIN top USING (source)
+""",
+    # cross-source contamination matrix over word-3-gram shingles;
+    # same per-doc-distinct shingles as the dedup family, posting
+    # list bounded to 2..10 sources (the LSH max_bucket skew guard)
+    "cross_source_overlap": f"""
+WITH toks AS (SELECT source, {_TOKS} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT source AS src, unnest(list_distinct(list_transform(
+    range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+  FROM toks
+),
+b AS (
+  SELECT src, s FROM (
+    SELECT src, s, count(*) OVER (PARTITION BY s) AS n_src FROM sh
+  ) WHERE n_src BETWEEN 2 AND 10
+)
+SELECT a.src AS source_a, b2.src AS source_b,
+       count(*) AS n_shared_shingles
+FROM b a JOIN b b2 USING (s)
+WHERE a.src < b2.src GROUP BY 1, 2
+""",
+    "quantize_embeddings": S.quantize_sql(),
 }
