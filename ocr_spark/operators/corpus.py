@@ -266,6 +266,180 @@ def cross_source_overlap(
     )
 
 
+def boilerplate_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 4,
+    max_docs: int = 4,
+) -> DataFrame:
+    """CCNet-style corpus-frequency boilerplate removal: segments that
+    recur across more than ``max_docs`` documents (headers, footers,
+    navigation chrome, license blurbs) are dropped from every document
+    and the text is reassembled from the surviving segments in order.
+    CCNet's removal unit is the paragraph; for unstructured single-line
+    text the unit is a fixed non-overlapping ``seg_tokens``-token window
+    (``chunk_structs`` with window == stride).
+
+    Scale shape: segment rows are token-sized (not char-sized), the
+    frequency count is one partially-aggregated shuffle on the segment
+    key, and the boilerplate set — frequency-capped by definition — is
+    broadcast so the scrub join is map-side. Reassembly is one shuffle
+    on the doc id (collect_list + array_sort, no per-doc window). At
+    100 TB only the two key-sized aggregates shuffle; if the
+    boilerplate set ever outgrew the broadcast threshold the same plan
+    works as a shuffle hash join.
+
+    Output (doc_id, clean_text, n_seg_kept, n_seg_dropped)."""
+    from ocr_spark.functions.text import chunk_structs
+
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            chunk_structs(F.col(text_col), window=seg_tokens, stride=seg_tokens)
+        ).alias("pos", "c"),
+    ).select(id_col, "pos", F.col("c.chunk_text").alias("seg"))
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("seg", F.lit(1).alias("bp"))
+    )
+    marked = segs.join(F.broadcast(boiler), "seg", "left")
+    kept = F.col("bp").isNull()
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(kept, F.struct("pos", "seg")))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.when(kept, 1)).alias("n_seg_kept"),
+        F.count(F.when(~kept, 1)).alias("n_seg_dropped"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    capacity: int = 256,
+) -> DataFrame:
+    """Concat-and-split sequence packing — the pretraining step that
+    lays documents end-to-end into fixed ``capacity``-token context
+    windows. Packing is per shard (``shard_col``), the way a real
+    pipeline packs within an input shard so 1000 executors pack 1000
+    shards with zero coordination: a running token total over
+    (shard, doc_id) order places each document at an absolute stream
+    offset, and integer division by ``capacity`` yields its first bin,
+    offset within it, and how many bins it spans. One shuffle (the
+    per-shard window sort); all arithmetic exact integers.
+
+    A global (single-window) pack would serialize on one partition at
+    scale — per-shard packing is the deliberate design point, not a
+    shortcut; bins never mix shards, which is also what source-weighted
+    sampling needs downstream.
+
+    Output (source, doc_id, n_tokens, bin_id, bin_offset, n_bins)."""
+    from pyspark.sql.window import Window
+
+    from ocr_spark.functions.text import token_count
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nt = token_count(F.col(text_col)).cast("long")
+    return (
+        df.select(shard_col, id_col, nt.alias("n_tokens"))
+        .withColumn("cum", F.sum(F.col("n_tokens")).over(w))
+        .select(
+            shard_col,
+            id_col,
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) DIV {capacity}").alias("bin_id"),
+            ((F.col("cum") - F.col("n_tokens")) % capacity).alias("bin_offset"),
+            F.expr(
+                f"(cum - 1) DIV {capacity} - (cum - n_tokens) DIV {capacity} + 1"
+            ).alias("n_bins"),
+        )
+    )
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-class profile — the script/charset gate of
+    a multilingual ingest (mojibake and wrong-charset docs show up as
+    high ``other_frac``). Counts are length deltas under global
+    regexp_replace with explicit character classes (identical Java
+    regex / RE2 semantics; ``\\s`` differs between the engines so the
+    whitespace class is spelled out). Map-only, zero shuffle, zero
+    Python; fractions are single IEEE divisions of exact ints.
+
+    Output (doc_id, n_chars, latin_frac, digit_frac, space_frac,
+    other_frac)."""
+
+    def cnt(cls: str):
+        t = F.col(text_col)
+        return F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+
+    n = F.length(F.col(text_col))
+    latin, digit, space = cnt("[A-Za-z]"), cnt("[0-9]"), cnt("[ \\t\\n\\r]")
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.round(latin / n, 6).alias("latin_frac"),
+        F.round(digit / n, 6).alias("digit_frac"),
+        F.round(space / n, 6).alias("space_frac"),
+        F.round((n - latin - digit - space) / n, 6).alias("other_frac"),
+    )
+
+
+def source_mixture_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Temperature-based source mixing (multilingual-pretraining
+    sampling, α = 0.5): raw source probabilities p_i from exact token
+    counts, smoothed w_i = sqrt(p_i) (sqrt, unlike pow, is IEEE
+    correctly-rounded — bit-identical cross-engine), normalized over
+    sources. The normalizer folds the per-source weights in sorted
+    source order via an explicit left fold, so the double sum has ONE
+    evaluation order on any engine and any partitioning — the
+    order-independence trick the DECIMAL sums use, transplanted to
+    doubles. Per-source token counts partially aggregate map-side; the
+    source table is metadata-sized, so the normalize step is a
+    broadcast of one row.
+
+    Output (source, n_tokens, p_raw, weight, sample_mult) where
+    sample_mult = weight / p_raw is the per-source over/undersampling
+    factor."""
+    from ocr_spark.functions.text import token_count
+
+    s = df.groupBy("source").agg(
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("n_tokens")
+    )
+    tot = s.agg(F.sum("n_tokens").alias("t"))
+    r = s.crossJoin(F.broadcast(tot)).withColumn(
+        "wr", F.sqrt(F.col("n_tokens") / F.col("t"))
+    )
+    z = r.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "wr"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["wr"],
+        ).alias("z")
+    )
+    return r.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("t"), 6).alias("p_raw"),
+        F.round(F.col("wr") / F.col("z"), 6).alias("weight"),
+        F.round(
+            (F.col("wr") / F.col("z")) / (F.col("n_tokens") / F.col("t")), 6
+        ).alias("sample_mult"),
+    )
+
+
 def train_val_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -500,6 +500,30 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_embeddings(_emb(spark, sf_dir))
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import boilerplate_scrub
+
+    return boilerplate_scrub(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import script_profile
+
+    return script_profile(_docs(spark, sf_dir))
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import source_mixture_weights
+
+    return source_mixture_weights(_docs(spark, sf_dir))
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational operator suite (SURVEY §2.5/2.6 mappings)
     "q1_pricing_summary": R.pricing_summary,
@@ -575,6 +599,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_stats": q_source_stats,
     "cross_source_overlap": q_cross_source_overlap,
     "quantize_embeddings": q_quantize_embeddings,
+    "boilerplate_scrub": q_boilerplate_scrub,
+    "pack_sequences": q_pack_sequences,
+    "script_profile": q_script_profile,
+    "source_mixture_weights": q_source_mixture,
 }
 
 # ---------------------------------------------------------------------------
@@ -1662,4 +1690,92 @@ FROM b a JOIN b b2 USING (s)
 WHERE a.src < b2.src GROUP BY 1, 2
 """,
     "quantize_embeddings": S.quantize_sql(),
+    # CCNet-style boilerplate removal: non-overlapping 4-token
+    # segments, corpus frequency > 4 docs -> dropped, text reassembled
+    # in segment order (string_agg ORDER BY pos = array_sort on pos)
+    "boilerplate_scrub": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(unnest(range(0, len(w), 4)) AS INTEGER) AS start, w
+  FROM t
+),
+segs AS (
+  SELECT doc_id, start // 4 AS pos,
+         array_to_string(w[start + 1 : start + 4], ' ') AS seg
+  FROM s
+),
+bp AS (
+  SELECT seg FROM (
+    SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY 1
+  ) WHERE nd > 4
+),
+m AS (
+  SELECT segs.doc_id, segs.pos, segs.seg, (bp.seg IS NOT NULL) AS is_bp
+  FROM segs LEFT JOIN bp ON segs.seg = bp.seg
+)
+SELECT doc_id,
+  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT is_bp), '')
+    AS clean_text,
+  count(*) FILTER (WHERE NOT is_bp) AS n_seg_kept,
+  count(*) FILTER (WHERE is_bp) AS n_seg_dropped
+FROM m GROUP BY doc_id
+""",
+    # concat-and-split packing: per-source running token total, bins of
+    # 256; all integer arithmetic (// and % on exact counts)
+    "pack_sequences": r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS cum FROM t
+)
+SELECT source, doc_id, n_tokens,
+  (cum - n_tokens) // 256 AS bin_id,
+  (cum - n_tokens) % 256 AS bin_offset,
+  (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_bins
+FROM c
+""",
+    # character-class profile via global-replace length deltas; the
+    # whitespace class is spelled out (Java \s != RE2 \s at \x0B)
+    "script_profile": r"""
+WITH c AS (
+  SELECT doc_id, len(text) AS n,
+    len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS lat,
+    len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+    len(text) - len(regexp_replace(text, '[ ' || chr(9) || chr(10) || chr(13) || ']', '', 'g')) AS spc
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  round(lat / n, 6) AS latin_frac,
+  round(dig / n, 6) AS digit_frac,
+  round(spc / n, 6) AS space_frac,
+  round((n - lat - dig - spc) / n, 6) AS other_frac
+FROM c
+""",
+    # temperature (alpha = 0.5) source mixing: sqrt is correctly
+    # rounded IEEE (pow is not); the normalizer is a left fold in
+    # sorted source order -> one evaluation order on both engines
+    "source_mixture_weights": r"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM s),
+r AS (SELECT source, n_tokens, sqrt(n_tokens / t) AS wr FROM s, tot),
+z AS (SELECT list_reduce(list(wr ORDER BY source), (a, b) -> a + b) AS z FROM r)
+SELECT source, n_tokens,
+  round(n_tokens / t, 6) AS p_raw,
+  round(wr / z, 6) AS weight,
+  round((wr / z) / (n_tokens / t), 6) AS sample_mult
+FROM r, tot, z
+""",
 }

@@ -146,3 +146,99 @@ def test_pii_redact_edges(spark):
     assert out[4]["i"] == 1 and out[4]["red"] == "ver [IP].5 tag"
     assert out[5]["p"] == 0 and out[5]["red"] == rows[4][1]
     assert out[6]["red"] == rows[5][1]
+
+
+def test_boilerplate_scrub_semantics(spark):
+    from ocr_spark.operators.corpus import boilerplate_scrub
+
+    d = spark.createDataFrame(
+        [
+            (0, "h1 h2 h3 h4 u1 u2 u3 u4 tail"),
+            (1, "h1 h2 h3 h4 v1 v2 v3 v4"),
+            (2, "h1 h2 h3 h4"),  # fully boilerplate -> empty clean_text
+            (3, "w1 w2 w3 w4"),  # unique -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scrub(d, seg_tokens=4, max_docs=2).collect()
+    }
+    # "h1 h2 h3 h4" appears in 3 docs > max_docs=2 -> dropped everywhere
+    assert out[0]["clean_text"] == "u1 u2 u3 u4 tail"  # short tail kept
+    assert out[0]["n_seg_kept"] == 2 and out[0]["n_seg_dropped"] == 1
+    assert out[1]["clean_text"] == "v1 v2 v3 v4"
+    assert out[2]["clean_text"] == "" and out[2]["n_seg_kept"] == 0
+    assert out[3]["clean_text"] == "w1 w2 w3 w4"
+    assert out[3]["n_seg_dropped"] == 0
+
+
+def test_boilerplate_scrub_broadcasts_frequent_set(spark):
+    from ocr_spark.operators.corpus import boilerplate_scrub
+
+    df = boilerplate_scrub(load_table(spark, SF_DIR, "documents"))
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan  # scrub join ships only the bp set
+    # shuffles: segment-frequency distinct-count (2-phase) + final
+    # doc-id reassembly; nothing else
+    assert count_exchanges(df) <= 3
+
+
+def test_pack_sequences_semantics(spark):
+    from ocr_spark.operators.corpus import pack_sequences
+
+    d = spark.createDataFrame(
+        [
+            (1, "s", "t1 t2 t3"),          # [0,3) -> bin 0 off 0
+            (2, "s", "t1 t2 t3"),          # [3,6) -> bin 0 off 3, spans 2
+            (3, "s", "t1 t2"),             # [6,8) -> bin 1 off 2
+            (4, "other", "t1"),            # own shard: bin 0 off 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in pack_sequences(d, capacity=4).collect()
+    }
+    assert (out[1]["bin_id"], out[1]["bin_offset"], out[1]["n_bins"]) == (0, 0, 1)
+    assert (out[2]["bin_id"], out[2]["bin_offset"], out[2]["n_bins"]) == (0, 3, 2)
+    assert (out[3]["bin_id"], out[3]["bin_offset"], out[3]["n_bins"]) == (1, 2, 1)
+    assert (out[4]["bin_id"], out[4]["bin_offset"], out[4]["n_bins"]) == (0, 0, 1)
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from ocr_spark.operators.corpus import pack_sequences
+
+    df = pack_sequences(load_table(spark, SF_DIR, "documents"))
+    assert count_exchanges(df) == 1  # the per-shard window, nothing else
+    assert not re.search(r"\bGenerate\b", physical_plan(df))
+
+
+def test_script_profile_semantics_and_plan(spark):
+    from ocr_spark.operators.corpus import script_profile
+
+    d = spark.createDataFrame([(1, "ab1 c!")], "doc_id long, text string")
+    r = script_profile(d).collect()[0]
+    assert r["n_chars"] == 6
+    assert math.isclose(r["latin_frac"], 3 / 6, abs_tol=1e-6)
+    assert math.isclose(r["digit_frac"], 1 / 6, abs_tol=1e-6)
+    assert math.isclose(r["space_frac"], 1 / 6, abs_tol=1e-6)
+    assert math.isclose(r["other_frac"], 1 / 6, abs_tol=1e-6)
+    # map-only: scan + project, no shuffle
+    assert count_exchanges(script_profile(load_table(spark, SF_DIR, "documents"))) == 0
+
+
+def test_source_mixture_weights_alpha_half(spark):
+    from ocr_spark.operators.corpus import source_mixture_weights
+
+    d = spark.createDataFrame(
+        [(1, "a", "t1"), (2, "b", "t1 t2 t3 t4")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in source_mixture_weights(d).collect()}
+    assert math.isclose(out["a"]["p_raw"], 0.2, abs_tol=1e-6)
+    # sqrt smoothing: weights 1/3 vs 2/3, rare source oversampled 5/3x
+    assert math.isclose(out["a"]["weight"], 1 / 3, abs_tol=1e-6)
+    assert math.isclose(out["b"]["weight"], 2 / 3, abs_tol=1e-6)
+    assert math.isclose(out["a"]["sample_mult"], 5 / 3, abs_tol=1e-6)
+    assert math.isclose(out["b"]["sample_mult"], 5 / 6, abs_tol=1e-6)
+    assert math.isclose(sum(r["weight"] for r in out.values()), 1.0, abs_tol=2e-6)
