@@ -440,6 +440,51 @@ def source_mixture_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_commonness(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-LM quality signal (the CCNet/KenLM perplexity filter's
+    exact-arithmetic analogue): score each document by the mean
+    document-frequency of its token occurrences — gibberish and
+    wrong-language docs are rare-token-heavy and score low. A log-prob
+    perplexity would need transcendental ``ln`` whose last-ulp varies
+    between engines (libm vs JVM intrinsics), which the exact-parity
+    gate disallows; the linear-space mean carries the same ordering
+    signal with exact integer arithmetic: sum_df is an exact long sum
+    (order-free), and the score is ONE IEEE division
+    sum_df / (n_docs * n_tokens) — bit-identical on any engine, any
+    partitioning.
+
+    Scale: the doc-frequency table is vocabulary-sized (one partially
+    aggregated shuffle over distinct (doc, token) pairs) and broadcast
+    back, so scoring is a map-side join; the only corpus-sized shuffle
+    is the per-doc re-aggregation. Same two-shuffle shape as TF-IDF.
+
+    Output (doc_id, n_tokens, sum_df, common_score)."""
+    from ocr_spark.functions.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    dfreq = tok.groupBy("t").agg(F.countDistinct(id_col).alias("dfc"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        tok.join(F.broadcast(dfreq), "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("dfc").alias("sum_df"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_df",
+            F.round(
+                F.col("sum_df") / (F.col("nd") * F.col("n_tokens")), 6
+            ).alias("common_score"),
+        )
+    )
+
+
 def train_val_split(
     df: DataFrame,
     id_col: str = "doc_id",

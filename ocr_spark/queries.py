@@ -524,6 +524,12 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_weights(_docs(spark, sf_dir))
 
 
+def q_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import unigram_commonness
+
+    return unigram_commonness(_docs(spark, sf_dir))
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational operator suite (SURVEY §2.5/2.6 mappings)
     "q1_pricing_summary": R.pricing_summary,
@@ -603,6 +609,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "script_profile": q_script_profile,
     "source_mixture_weights": q_source_mixture,
+    "unigram_commonness": q_unigram_commonness,
 }
 
 # ---------------------------------------------------------------------------
@@ -1777,5 +1784,22 @@ SELECT source, n_tokens,
   round(wr / z, 6) AS weight,
   round((wr / z) / (n_tokens / t), 6) AS sample_mult
 FROM r, tot, z
+""",
+    # corpus-LM commonness: exact long sum of per-occurrence document
+    # frequencies, ONE division — no float fold, no transcendental
+    "unigram_commonness": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+dfreq AS (SELECT t, count(DISTINCT doc_id) AS dfc FROM tok GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents)
+SELECT tok.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(dfc) AS BIGINT) AS sum_df,
+  round(CAST(sum(dfc) AS BIGINT) / (n * CAST(count(*) AS BIGINT)), 6)
+    AS common_score
+FROM tok JOIN dfreq USING (t) CROSS JOIN nd
+GROUP BY tok.doc_id, nd.n
 """,
 }

@@ -242,3 +242,32 @@ def test_source_mixture_weights_alpha_half(spark):
     assert math.isclose(out["a"]["sample_mult"], 5 / 3, abs_tol=1e-6)
     assert math.isclose(out["b"]["sample_mult"], 5 / 6, abs_tol=1e-6)
     assert math.isclose(sum(r["weight"] for r in out.values()), 1.0, abs_tol=2e-6)
+
+
+def test_unigram_commonness_semantics(spark):
+    from ocr_spark.operators.corpus import unigram_commonness
+
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_commonness(d).collect()}
+    # df: a->2 docs, b->1, c->1, zzz->1, qqq->1; n_docs=3
+    assert out[1]["sum_df"] == 2 + 2 + 1 and out[1]["n_tokens"] == 3
+    assert math.isclose(out[1]["common_score"], 5 / 9, abs_tol=1e-6)
+    assert math.isclose(out[2]["common_score"], 3 / 6, abs_tol=1e-6)
+    # gibberish doc: every token unique to it -> minimum score
+    assert math.isclose(out[3]["common_score"], 2 / 6, abs_tol=1e-6)
+    assert out[3]["common_score"] < out[1]["common_score"]
+
+
+def test_unigram_commonness_broadcasts_vocab(spark):
+    from ocr_spark.operators.corpus import unigram_commonness
+
+    df = unigram_commonness(load_table(spark, SF_DIR, "documents"))
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan  # vocab-sized df table ships small
+    # shuffles: doc-frequency distinct-count (2-phase) + per-doc re-agg
+    # + the one-partial-row-per-task n_docs count; nothing corpus-sized
+    # beyond the re-agg
+    assert count_exchanges(df) <= 4
