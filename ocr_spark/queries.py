@@ -530,6 +530,29 @@ def q_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_commonness(_docs(spark, sf_dir))
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct l_orderkey per l_returnflag (~12k-40k distinct per
+    group at the driver tiers — solidly in the raw-estimate regime),
+    with the exact count joined in for side-by-side error."""
+    from ocr_spark.operators.sketch import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return hll_distinct(li, "l_orderkey", "l_returnflag")
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter stats: probe every lineitem row against a
+    bitset of URGENT order keys; one row of exact effectiveness
+    numbers (candidates, true matches, false positives, fp rate)."""
+    from ocr_spark.operators.sketch import bloom_semijoin_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return bloom_semijoin_stats(li, orders, "l_orderkey", "o_orderkey")
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational operator suite (SURVEY §2.5/2.6 mappings)
     "q1_pricing_summary": R.pricing_summary,
@@ -610,6 +633,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_profile": q_script_profile,
     "source_mixture_weights": q_source_mixture,
     "unigram_commonness": q_unigram_commonness,
+    # mergeable sketches (distributed cardinality / join pruning)
+    "hll_distinct": q_hll_distinct,
+    "bloom_semijoin": q_bloom_semijoin,
 }
 
 # ---------------------------------------------------------------------------
@@ -1803,3 +1829,112 @@ FROM tok JOIN dfreq USING (t) CROSS JOIN nd
 GROUP BY tok.doc_id, nd.n
 """,
 }
+
+
+def _hll_sql() -> str:
+    """HLL oracle: same 32-bit md5 hash, same 256 registers, same
+    scaled-integer harmonic sum, same single division with the SAME
+    double constant (sketch.HLL_NUMERATOR repr round-trips exactly —
+    it is a power-of-two scaling of one rounded literal)."""
+    from ocr_spark.operators.sketch import HLL_M, HLL_MAXRANK, HLL_NUMERATOR
+
+    m, maxr = HLL_M, HLL_MAXRANK
+    return f"""
+WITH h AS (
+  SELECT l_returnflag AS grp,
+    ('0x' || substr(md5('hll|' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h32
+  FROM lineitem
+),
+r AS (
+  SELECT grp, h32 % {m} AS idx,
+    CASE WHEN h32 // {m} = 0 THEN {maxr}
+         ELSE {maxr} - length(bin(h32 // {m})) END AS r
+  FROM h
+),
+regs AS (SELECT grp, idx, max(r) AS mr FROM r GROUP BY 1, 2),
+a AS (
+  SELECT grp, count(*) AS registers_used,
+    CAST(sum(1::BIGINT << ({maxr} - mr)) AS BIGINT) AS s_present
+  FROM regs GROUP BY 1
+),
+b AS (
+  SELECT grp, registers_used,
+    CAST({m} - registers_used AS BIGINT) AS zero_registers,
+    s_present + ({m} - registers_used) * {1 << maxr} AS s_scaled
+  FROM a
+),
+e AS (
+  SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS exact_distinct
+  FROM lineitem GROUP BY 1
+)
+SELECT b.grp AS l_returnflag, registers_used, zero_registers, s_scaled,
+  CAST(floor({HLL_NUMERATOR!r} / CAST(s_scaled AS DOUBLE)) AS BIGINT)
+    AS est_distinct,
+  exact_distinct,
+  CAST(floor(
+    abs(CAST(floor({HLL_NUMERATOR!r} / CAST(s_scaled AS DOUBLE)) AS BIGINT)
+        - exact_distinct) * 10000.0 / exact_distinct) AS BIGINT) AS rel_err_bp
+FROM b JOIN e ON b.grp = e.grp
+"""
+
+
+def _bloom_sql() -> str:
+    """Bloom semi-join oracle: identical salted-md5 bit positions and
+    32-bit-per-word masks; membership via LEFT JOINs to the word table
+    (the relational form of the broadcast map lookup)."""
+    from ocr_spark.operators.sketch import BLOOM_BITS
+
+    nb = BLOOM_BITS
+    pos = (
+        "(('0x' || substr(md5('bf{i}|' || CAST({k} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {nb})"
+    )
+    p0n, p1n = pos.format(i=0, k="key"), pos.format(i=1, k="key")
+    p0f, p1f = pos.format(i=0, k="l_orderkey"), pos.format(i=1, k="l_orderkey")
+    return f"""
+WITH needles AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+pos AS (
+  SELECT {p0n} AS pos FROM needles
+  UNION ALL
+  SELECT {p1n} AS pos FROM needles
+),
+words AS (
+  SELECT pos // 32 AS w,
+    CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS BIGINT) AS bits
+  FROM pos GROUP BY 1
+),
+f AS (
+  SELECT l_orderkey AS fk, {p0f} AS p0, {p1f} AS p1 FROM lineitem
+),
+probed AS (
+  SELECT f.fk,
+    (coalesce(w0.bits, 0) & (1::BIGINT << CAST(f.p0 % 32 AS INTEGER))) <> 0
+      AND (coalesce(w1.bits, 0) & (1::BIGINT << CAST(f.p1 % 32 AS INTEGER))) <> 0
+      AS cand,
+    n.key IS NOT NULL AS is_true
+  FROM f
+  LEFT JOIN words w0 ON w0.w = f.p0 // 32
+  LEFT JOIN words w1 ON w1.w = f.p1 // 32
+  LEFT JOIN needles n ON n.key = f.fk
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fact,
+    CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+    CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_matches,
+    CAST(sum(CASE WHEN cand AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_false_pos
+  FROM probed
+)
+SELECT n_fact, n_candidates, n_true_matches, n_false_pos,
+  CASE WHEN n_fact = n_true_matches THEN 0
+       ELSE CAST(floor(n_false_pos * 10000.0 / (n_fact - n_true_matches))
+                 AS BIGINT) END AS fp_rate_bp
+FROM s
+"""
+
+
+ORACLE_SQL["hll_distinct"] = _hll_sql()
+ORACLE_SQL["bloom_semijoin"] = _bloom_sql()

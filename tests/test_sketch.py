@@ -1,0 +1,100 @@
+"""Sketch operators: HLL mergeability/accuracy, Bloom no-false-
+negatives, and the plan shapes that make both scale (oracle parity is
+covered by tests/test_entry_oracle.py like every driver query)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.sketch import (
+    HLL_M,
+    bloom_build,
+    bloom_semijoin_stats,
+    hll_distinct,
+    hll_registers,
+)
+from ocr_spark.plans.checks import count_exchanges, physical_plan
+from ocr_spark.sources.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_merge_is_register_max(spark):
+    """The distributed-merge property the 1000-executor story rests
+    on: sketching two halves separately and merging by per-register
+    max equals sketching the whole input. (Spark's partial/final
+    HashAggregate pair applies exactly this merge across partitions.)"""
+    li = load_table(spark, SF_DIR, "lineitem")
+    whole = hll_registers(li, "l_orderkey", "l_returnflag")
+    half_a = hll_registers(li.filter(F.col("l_partkey") % 2 == 0), "l_orderkey", "l_returnflag")
+    half_b = hll_registers(li.filter(F.col("l_partkey") % 2 == 1), "l_orderkey", "l_returnflag")
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("grp", "idx")
+        .agg(F.max("mr").alias("mr"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_accuracy_in_raw_regime(spark):
+    """All driver-tier groups sit in the raw-estimate regime
+    (>= 2.5*m distinct) and land within 20% of exact (m=256 standard
+    error is ~6.5%; 20% = ~3 sigma)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    rows = hll_distinct(li, "l_orderkey", "l_returnflag").collect()
+    assert rows
+    for r in rows:
+        assert r.exact_distinct >= 2.5 * HLL_M
+        assert r.rel_err_bp < 2000, (r.l_returnflag, r.rel_err_bp)
+
+
+def test_hll_sketch_path_two_exchanges(spark):
+    """Without the exact-count comparison join, the sketch is exactly
+    two partially-aggregated shuffles (register max, group fold) —
+    the shuffle payload is register-sized, never input-sized."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = hll_distinct(li, "l_orderkey", "l_returnflag", include_exact=False)
+    assert count_exchanges(df) == 2
+    assert "Join" not in physical_plan(df)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Probing the needle keys themselves: every one must pass its own
+    filter (bloom filters cannot produce false negatives)."""
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    stats = bloom_semijoin_stats(orders, orders, "o_orderkey", "o_orderkey").collect()[0]
+    assert stats.n_candidates == stats.n_fact
+    assert stats.n_false_pos == 0
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    """The fact table is never shuffled: the bloom row and the needle
+    keys both arrive by broadcast, so the only Exchange is the final
+    single-row stats fold. No SortMergeJoin anywhere."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    df = bloom_semijoin_stats(li, orders, "l_orderkey", "o_orderkey")
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    # exchanges: bloom build (word fold + single-row collect) and the
+    # final stats fold — none of them carry fact rows
+    fact_side = plan.split("BroadcastNestedLoopJoin")[0] if "BroadcastNestedLoopJoin" in plan else plan
+    assert not re.search(r"Exchange hashpartitioning\(fk", fact_side)
+
+
+def test_bloom_word_table_is_sparse_and_bounded(spark):
+    """The serialized filter is at most n_bits/32 words regardless of
+    needle count — the broadcast stays metadata-sized."""
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    row = bloom_build(orders, "o_orderkey").collect()[0]
+    assert 0 < len(row.bloom) <= 65536 // 32
+    assert all(v != 0 for v in row.bloom.values())
