@@ -165,6 +165,108 @@ def hll_distinct(
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # rows; error probability ~ e^-d
+CMS_WIDTH = 1024  # counters per row; overestimate bound ~ (e/w) * N
+
+
+def _cms_col(item_str_col, i: int, w: int) -> "F.Column":
+    """Counter column for hash row i: 60-bit md5 prefix mod w."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{i}|"), item_str_col)), 1, 15), 16, 10
+        ).cast("long")
+        % w
+    )
+
+
+def count_min_counters(
+    df: DataFrame, item_col: str, d: int = CMS_DEPTH, w: int = CMS_WIDTH
+) -> DataFrame:
+    """The count-min counter table (row, col, c) — the mergeable sketch
+    state: merging two sketches = unioning counter tables and SUMMING
+    per (row, col), which is what the partial/final HashAggregate pair
+    of the groupBy does across partitions. The shuffle carries at most
+    d*w counters per partition regardless of input size."""
+    s = F.col(item_col).cast("string")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), _cms_col(s, i, w).alias("col"))
+                    for i in range(d)
+                ]
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.row").alias("row"), F.col("p.col").alias("col")).agg(
+        F.count("*").alias("c")
+    )
+
+
+def cms_top_frequencies(
+    df: DataFrame,
+    item_col: str,
+    top_k: int = 20,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min frequency estimates for the ``top_k`` most frequent
+    items (deterministic probe set: count desc, item asc), with the
+    exact count joined in for side-by-side error.
+
+    Output (item_col, est_count, exact_count, overestimate) — pure
+    integer arithmetic end to end (no floats anywhere), so the oracle
+    match is trivially bit-exact. CMS can only OVERcount (collisions
+    add, never subtract): overestimate >= 0 always, bounded by
+    ~(e/w)*N per probe with probability 1 - e^-d. The counter table is
+    d*w cells, broadcast to the probe join; the input stream is
+    touched once with a partially-aggregated groupBy."""
+    from pyspark.sql import Window
+
+    counters = count_min_counters(df, item_col, d, w)
+    exact = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count("*").alias("exact_count")
+    )
+    probes = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_count").desc(), F.col("item").asc())
+            ),
+        )
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )
+    s = F.col("item").cast("string")
+    lookups = probes.select(
+        "item",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), _cms_col(s, i, w).alias("col"))
+                    for i in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", "exact_count", F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+    return (
+        lookups.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("item", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+        .select(
+            F.col("item").alias(item_col),
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter semi-join pre-filter
 # ---------------------------------------------------------------------------
 

@@ -553,6 +553,20 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_semijoin_stats(li, orders, "l_orderkey", "o_orderkey")
 
 
+def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the 20 most frequent
+    l_partkey values — pure integer arithmetic, est >= exact always
+    (collisions only overcount). The synthetic key stream is uniform,
+    so the side-by-side exact column makes the ~N/w collision floor
+    visible — the guarantees under test are never-undercount and the
+    (e/w)*N bound, not point accuracy on uniform data (size w to
+    N/(eps*count) for heavy-hitter workloads)."""
+    from ocr_spark.operators.sketch import cms_top_frequencies
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cms_top_frequencies(li, "l_partkey")
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational operator suite (SURVEY §2.5/2.6 mappings)
     "q1_pricing_summary": R.pricing_summary,
@@ -633,9 +647,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_profile": q_script_profile,
     "source_mixture_weights": q_source_mixture,
     "unigram_commonness": q_unigram_commonness,
-    # mergeable sketches (distributed cardinality / join pruning)
+    # mergeable sketches (distributed cardinality / frequency / join pruning)
     "hll_distinct": q_hll_distinct,
     "bloom_semijoin": q_bloom_semijoin,
+    "cms_frequencies": q_cms_frequencies,
 }
 
 # ---------------------------------------------------------------------------
@@ -1936,5 +1951,49 @@ FROM s
 """
 
 
+def _cms_sql() -> str:
+    """Count-min oracle: identical salted-md5 counter columns; pure
+    integer counts end to end, so parity needs no float rules at all."""
+    from ocr_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    col = (
+        "(('0x' || substr(md5('cm' || i || '|' || CAST(item AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {CMS_WIDTH})"
+    )
+    return f"""
+WITH rows_i AS (SELECT unnest(range(0, {CMS_DEPTH})) AS i),
+items AS (SELECT l_partkey AS item FROM lineitem),
+pairs AS (
+  SELECT i AS row, {col} AS col FROM items CROSS JOIN rows_i
+),
+counters AS (
+  SELECT row, col, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+),
+exact AS (
+  SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS exact_count
+  FROM lineitem GROUP BY 1
+),
+probes AS (
+  SELECT item, exact_count FROM (
+    SELECT item, exact_count,
+      row_number() OVER (ORDER BY exact_count DESC, item) AS rn
+    FROM exact
+  ) WHERE rn <= 20
+),
+lookups AS (
+  SELECT item, exact_count, i AS row, {col} AS col
+  FROM probes CROSS JOIN rows_i
+),
+est AS (
+  SELECT item, exact_count, min(c) AS est_count
+  FROM lookups JOIN counters USING (row, col) GROUP BY 1, 2
+)
+SELECT item AS l_partkey, est_count, exact_count,
+  est_count - exact_count AS overestimate
+FROM est
+"""
+
+
 ORACLE_SQL["hll_distinct"] = _hll_sql()
 ORACLE_SQL["bloom_semijoin"] = _bloom_sql()
+ORACLE_SQL["cms_frequencies"] = _cms_sql()

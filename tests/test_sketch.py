@@ -9,9 +9,13 @@ import re
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
     HLL_M,
     bloom_build,
     bloom_semijoin_stats,
+    cms_top_frequencies,
+    count_min_counters,
     hll_distinct,
     hll_registers,
 )
@@ -58,6 +62,43 @@ def test_hll_sketch_path_two_exchanges(spark):
     df = hll_distinct(li, "l_orderkey", "l_returnflag", include_exact=False)
     assert count_exchanges(df) == 2
     assert "Join" not in physical_plan(df)
+
+
+def test_cms_merge_is_counter_sum(spark):
+    """Sketching two halves and merging by per-cell SUM equals
+    sketching the whole input — the count-min merge operator, applied
+    by Spark's partial aggregation across partitions."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    whole = count_min_counters(li, "l_partkey")
+    half_a = count_min_counters(li.filter(F.col("l_linenumber") % 2 == 0), "l_partkey")
+    half_b = count_min_counters(li.filter(F.col("l_linenumber") % 2 == 1), "l_partkey")
+    merged = (
+        half_a.unionByName(half_b).groupBy("row", "col").agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_never_undercounts_and_bound_holds(spark):
+    """est >= exact for every probe (collisions only add), and the
+    overestimate respects ~3x the (e/w)*N expectation bound."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    n = li.count()
+    rows = cms_top_frequencies(li, "l_partkey").collect()
+    assert len(rows) == 20
+    bound = 3 * (2.718281828 / CMS_WIDTH) * n
+    for r in rows:
+        assert r.overestimate >= 0, (r.l_partkey, r.overestimate)
+        assert r.overestimate <= bound, (r.l_partkey, r.overestimate, bound)
+
+
+def test_cms_counter_table_bounded(spark):
+    """The sketch state is at most d*w cells — broadcast-sized no
+    matter how many items streamed through — and one partial-agg
+    Exchange away from the scan."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    counters = count_min_counters(li, "l_partkey")
+    assert counters.count() <= CMS_DEPTH * CMS_WIDTH
+    assert count_exchanges(counters) == 1
 
 
 def test_bloom_no_false_negatives(spark):
