@@ -25,6 +25,42 @@ from ocr_spark.sources.io import load_table
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def test_hll_rank_formula_matches_bit_twiddling():
+    """Both engines derive rank via the length of the minimal binary
+    string (maxr - bitlen) — verify against an independent
+    count-the-leading-zeros loop over the whole rank range plus random
+    hashes, so a shared off-by-one can't hide behind engine parity."""
+    import hashlib
+
+    from ocr_spark.operators.sketch import HLL_MAXRANK, HLL_P
+
+    field_bits = 32 - HLL_P
+
+    def rank_reference(w: int) -> int:
+        lz = 0
+        for bit in range(field_bits - 1, -1, -1):
+            if w >> bit & 1:
+                break
+            lz += 1
+        else:
+            lz = field_bits
+        return lz + 1
+
+    def rank_formula(w: int) -> int:
+        return HLL_MAXRANK if w == 0 else HLL_MAXRANK - len(bin(w)[2:])
+
+    # every boundary value (single set bit, all-ones prefixes) ...
+    for b in range(field_bits):
+        for w in (1 << b, (1 << (b + 1)) - 1):
+            assert rank_formula(w) == rank_reference(w), w
+    assert rank_formula(0) == rank_reference(0) == HLL_MAXRANK
+    # ... and the md5-derived hashes the operator actually produces
+    for i in range(500):
+        h32 = int(hashlib.md5(f"hll|{i}".encode()).hexdigest()[:8], 16)
+        w = h32 >> HLL_P
+        assert rank_formula(w) == rank_reference(w), (i, w)
+
+
 def test_hll_merge_is_register_max(spark):
     """The distributed-merge property the 1000-executor story rests
     on: sketching two halves separately and merging by per-register
