@@ -510,3 +510,53 @@ def train_val_split(
         .when(F.col("bucket") < val_lt, "val")
         .otherwise("test"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus version diff: per-source added / removed / changed /
+    unchanged counts between two snapshots — the CDC primitive an
+    iteratively-rebuilt training corpus needs (what changed since the
+    last cut, and where).
+
+    Shape: each side collapses to (id, source, md5 fingerprint) at
+    scan time — the full-outer join shuffles key-sized rows, never
+    text — then one per-source conditional aggregation. At 100 TB,
+    bucket both snapshot tables by id (sources/bucketing.py) and the
+    join becomes a shuffle-free zip of co-located partitions.
+
+    Output (source, n_added, n_removed, n_changed, n_unchanged)."""
+    o = old.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src_o"),
+        F.md5(F.col(text_col)).alias("fp_o"),
+    )
+    n = new.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src_n"),
+        F.md5(F.col(text_col)).alias("fp_n"),
+    )
+    status = (
+        F.when(F.col("fp_o").isNull(), "added")
+        .when(F.col("fp_n").isNull(), "removed")
+        .when(F.col("fp_o") != F.col("fp_n"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, "id", "full_outer")
+        .select(F.coalesce("src_n", "src_o").alias("source"), status.alias("st"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("st") == "added", 1).otherwise(0)).alias("n_added"),
+            F.sum(F.when(F.col("st") == "removed", 1).otherwise(0)).alias("n_removed"),
+            F.sum(F.when(F.col("st") == "changed", 1).otherwise(0)).alias("n_changed"),
+            F.sum(F.when(F.col("st") == "unchanged", 1).otherwise(0)).alias(
+                "n_unchanged"
+            ),
+        )
+    )

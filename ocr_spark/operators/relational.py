@@ -494,3 +494,61 @@ def sessionize_events(
         (F.max("session_id") + 1).cast("int").alias("n_sessions"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+def salted_equijoin(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    spread_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe shuffle equi-join, the mechanism as a first-class
+    operator (the extraction job applies the same idea to its
+    repartition, job.py; here it protects a JOIN).
+
+    A hot fact key sends every matching row to ONE reducer in a plain
+    shuffle join — the straggler that decides wall-clock at 100 TB.
+    Salting splits each fact key into ``n_salts`` sub-keys using a
+    row-level column (``spread_col`` — must vary WITHIN a key; a salt
+    derived from the key itself would be a no-op) and replicates the
+    dim side once per salt, so the hot key's rows land on ``n_salts``
+    reducers. Join semantics are untouched: every fact row still meets
+    every matching dim row exactly once (it carries one salt; the dim
+    copy with that salt is present). The dim side grows ``n_salts``×,
+    which is the explicit price — use for key-sized dims too big or
+    too dynamic to broadcast outright.
+
+    The ``shuffle_hash`` hint keeps the demo on the shuffle-join path
+    (a dim this small would otherwise auto-broadcast, which is the
+    right plan when it fits — salting is for when it doesn't)."""
+    f = fact.withColumn("_salt", (F.col(spread_col) % n_salts).cast("int"))
+    d = dim.withColumnRenamed(dim_key, fact_key).withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)]))
+    )
+    return f.join(d.hint("shuffle_hash"), [fact_key, "_salt"]).drop("_salt")
+
+
+def salted_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per part type through the salted join (lineitem ⋈ part
+    on partkey, salt spread by l_orderkey). Decimal-exact sums; the
+    result is identical to the unsalted join by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = salted_equijoin(li, part, "l_partkey", "p_partkey", "l_orderkey")
+    return (
+        j.groupBy("p_type")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(15,4)")
+                    * (F.lit(1).cast("decimal(15,4)") - F.col("l_discount").cast("decimal(15,4)"))
+                ).cast("decimal(30,8)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_type")
+    )

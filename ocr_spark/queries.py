@@ -553,6 +553,30 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_semijoin_stats(li, orders, "l_orderkey", "o_orderkey")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff over a deterministically-derived second
+    snapshot (the same construction pattern as decontaminate's eval
+    slice and pii_scrub's augmentation): docs with id % 11 == 0 are
+    removed in the new snapshot, id % 13 == 0 get a ' [rev2]' edit,
+    id % 17 == 0 are duplicated as fresh high-id additions."""
+    from ocr_spark.operators.corpus import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    did = F.col("doc_id")
+    base = docs.filter(did % 11 != 0).withColumn(
+        "text",
+        F.when(did % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = docs.filter(did % 17 == 0).select(
+        (did + 10000000).alias("doc_id"),
+        F.concat(F.lit("added:"), F.col("text")).alias("text"),
+        "source",
+    )
+    return snapshot_diff(docs, base.unionByName(added))
+
+
 def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimates for the 20 most frequent
     l_partkey values — pure integer arithmetic, est >= exact always
@@ -651,6 +675,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "bloom_semijoin": q_bloom_semijoin,
     "cms_frequencies": q_cms_frequencies,
+    # skew-safe join mechanism + corpus CDC
+    "salted_join_revenue": R.salted_part_revenue,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 # ---------------------------------------------------------------------------
@@ -1997,3 +2024,41 @@ FROM est
 ORACLE_SQL["hll_distinct"] = _hll_sql()
 ORACLE_SQL["bloom_semijoin"] = _bloom_sql()
 ORACLE_SQL["cms_frequencies"] = _cms_sql()
+
+# salting never changes join semantics, so the oracle is the PLAIN join
+ORACLE_SQL["salted_join_revenue"] = f"""
+SELECT p_type,
+  CAST(sum({_REV_TERM}) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+ORACLE_SQL["snapshot_diff"] = """
+WITH old AS (SELECT doc_id, text, source FROM documents),
+new AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+    source
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'added:' || text AS text, source
+  FROM documents WHERE doc_id % 17 = 0
+),
+o AS (SELECT doc_id AS id, source AS src_o, md5(text) AS fp_o FROM old),
+n AS (SELECT doc_id AS id, source AS src_n, md5(text) AS fp_n FROM new),
+j AS (
+  SELECT coalesce(src_n, src_o) AS source,
+    CASE WHEN fp_o IS NULL THEN 'added'
+         WHEN fp_n IS NULL THEN 'removed'
+         WHEN fp_o <> fp_n THEN 'changed'
+         ELSE 'unchanged' END AS st
+  FROM o FULL OUTER JOIN n USING (id)
+)
+SELECT source,
+  CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j GROUP BY source
+"""
