@@ -1,0 +1,92 @@
+"""End-to-end corpus-preparation walkthrough over the documents table.
+
+    python examples/corpus_prep.py [sf_dir]
+
+The training-data side of the engine in pipeline order: quality + lang
+filtering, exact and near dedup, benchmark decontamination, PII
+redaction, sequence packing, the deterministic split, and the sketch
+family for monitoring — the same operators the driver contract
+(`__spark_entry__.py`) exercises query by query, here composed into
+one flow. Default input is the sf0.001 synthetic tier.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ocr_spark.functions.text import lang_id, pii_redact, quality_score  # noqa: E402
+from ocr_spark.operators.corpus import (  # noqa: E402
+    decontaminate,
+    pack_sequences,
+    snapshot_diff,
+    source_mixture_weights,
+    train_val_split,
+)
+from ocr_spark.operators.dedup import dedup_exact, minhash_lsh_dedup  # noqa: E402
+from ocr_spark.operators.sketch import bloom_semijoin_stats, hll_distinct  # noqa: E402
+from ocr_spark.plans.session import build_session  # noqa: E402
+from ocr_spark.sources.io import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = build_session("ocr_spark-corpus-prep")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    print(f"== {n0} docs from {sf_dir}; quality + language gates")
+    gated = docs.withColumn("lang_pred", lang_id(F.col("text"))).withColumn(
+        "q", quality_score(F.col("text"))
+    )
+    kept = gated.filter((F.col("q") >= 0.5) & (F.col("lang_pred") != "und"))
+    print(f"   kept {kept.count()}/{n0} after gates")
+
+    print("== exact dedup (md5 fingerprint keeper)")
+    groups = dedup_exact(kept.select("doc_id", "text", "source"))
+    print(f"   {groups.count()} distinct fingerprints (keeper = min doc_id)")
+
+    print("== near-dup pairs (MinHash-LSH, threshold 0.5)")
+    pairs = minhash_lsh_dedup(kept.select("doc_id", "text"), threshold=0.5)
+    print(f"   {pairs.count()} near-dup pairs flagged")
+
+    print("== benchmark decontamination (eval slice = doc_id % 41 == 0)")
+    decon = decontaminate(kept.select("doc_id", "text"))
+    flagged = decon.filter(F.col("contaminated") == 1).count()
+    print(f"   {flagged} training docs share an n-gram with the eval slice")
+
+    print("== PII redaction + sequence packing (512-token windows)")
+    clean = kept.select(
+        "doc_id", "source", pii_redact(F.col("text")).alias("text")
+    )
+    packed = pack_sequences(clean, capacity=512)
+    print(f"   {packed.count()} packed sequences")
+
+    print("== deterministic split + temperature mixing weights")
+    train_val_split(clean).groupBy("split").count().orderBy("split").show()
+    source_mixture_weights(clean).orderBy("source").show(5)
+
+    print("== monitoring sketches")
+    hll_distinct(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_returnflag"
+    ).orderBy("l_returnflag").show(3)
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bloom_semijoin_stats(
+        load_table(spark, sf_dir, "lineitem"), urgent, "l_orderkey", "o_orderkey"
+    ).show()
+
+    print("== snapshot self-diff (CDC sanity: everything unchanged)")
+    snapshot_diff(clean, clean).orderBy("source").show(3)
+
+    spark.stop()
+    print("corpus prep walkthrough complete")
+
+
+if __name__ == "__main__":
+    main()
