@@ -496,9 +496,14 @@ def winnow_overlap_pairs(
     not copying, and would blow the inverted-index join up
     quadratically — the same skew-cap shape as LSH's max_bucket.
     Shuffles: fingerprint explode → two groupBys + one equi-join, all
-    bounded by the posting cap."""
-    fps = winnow_docs(df, k, w, text_col, id_col).select(
-        "doc_id", F.explode("fps").alias("fp")
+    bounded by the posting cap. The fingerprint stream is consumed
+    three times (posting counts, both join sides) — materialized once
+    (localCheckpoint, call-scoped like minhash's shingle table) so the
+    md5-dense rolling-hash pass runs once, not three times."""
+    fps = _materialize_shingles(
+        winnow_docs(df, k, w, text_col, id_col).select(
+            "doc_id", F.explode("fps").alias("fp")
+        )
     )
     counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
     bounded = fps.join(

@@ -131,7 +131,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(_docs(spark, sf_dir))
+    """The testdata parquet is a single row group, so the scan cannot
+    split — without widening, the whole md5-per-token signature pass
+    runs on ONE core. The repartition shuffles ~raw-text bytes (tiny)
+    to unlock full-width compute: the same call minhash_lsh makes
+    before shingling (dedup.py). The simhash OPERATOR itself stays
+    map-only/zero-shuffle (tests/test_plan_shape.py) — on a many-file
+    100 TB table the scan is already wide and the widening is a no-op
+    cost-wise (one linear pass it would spend anyway)."""
+    d = _docs(spark, sf_dir)
+    return simhash(d.repartition(spark.sparkContext.defaultParallelism))
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,18 +389,24 @@ def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Passage-copy pairs via shared rare winnowing fingerprints."""
+    """Passage-copy pairs via shared rare winnowing fingerprints
+    (scan widened first — q_simhash rationale)."""
     from ocr_spark.operators.dedup import winnow_overlap_pairs
 
-    return winnow_overlap_pairs(_docs(spark, sf_dir))
+    return winnow_overlap_pairs(
+        _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver surface serializes the fingerprint array to a CSV string
-    (sorted + distinct already, so the string is canonical)."""
+    (sorted + distinct already, so the string is canonical). Scan
+    widened first — same single-row-group rationale as q_simhash; the
+    rolling-hash pass is the most md5-dense map in the repo."""
     from ocr_spark.operators.dedup import winnow_docs
 
-    w = winnow_docs(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    w = winnow_docs(d)
     return w.select("doc_id", F.array_join("fps", ",").alias("fps"))
 
 
