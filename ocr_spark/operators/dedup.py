@@ -677,3 +677,176 @@ def winnow_docs_exploded(
         .agg(F.array_sort(F.array_distinct(F.collect_list("wmin"))).alias("fps"))
         .select(F.col("id").alias("doc_id"), "fps")
     )
+
+
+def keep_best_representative(
+    scored: DataFrame,
+    comps: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Cluster-representative selection — the final step of the
+    near-dedup pipeline users actually run: after LSH pairs resolve
+    into duplicate clusters (``duplicate_components``), keep the
+    HIGHEST-QUALITY member of each cluster rather than the arbitrary
+    min-id (dropping the best-written copy of a passage because it
+    drew a larger id is a real corpus-quality loss). ``scored`` is
+    (id, score) — any deterministic score column works; ties break to
+    the smaller id so the pick is total-ordered. One hash join on id
+    plus one window shuffle on component — both linear; component
+    cardinality ≈ doc count, so no skew beyond the clusters
+    themselves (a pathological mega-cluster is exactly what the LSH
+    ``max_bucket`` cap upstream prevents).
+
+    Output: (id, component, score, is_best) for EVERY doc —
+    downstream keeps ``is_best`` rows and drops the rest."""
+    from pyspark.sql import Window
+
+    j = comps.select(id_col, "component").join(scored, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("_rnk", F.row_number().over(w))
+        .withColumn("is_best", F.col("_rnk") == 1)
+        .drop("_rnk")
+    )
+
+
+def _winnow_run_starts_expr(text_col, k: int = 8, w: int = 4) -> "F.Column":
+    """Positioned, run-compressed winnowing minima as ONE scalar
+    expression: array<struct<pos,fp>> where ``pos`` is the window
+    start of each NEW fingerprint run (winnowing minima repeat while
+    the same gram stays the window minimum; span detection needs each
+    run's start, and a repeated passage later in the doc re-emits its
+    fingerprints, so this keeps every local occurrence — richer than
+    ``_winnow_fps_expr``'s global distinct). Same nested
+    aggregate-wrapper anti-inlining shape as ``_winnow_fps_expr``: the
+    md5 gram array and the minima array are each computed once and
+    bound as lambda variables, so work stays O(n·w) per doc inside a
+    single map-side projection."""
+    n_grams = F.length(text_col) - F.lit(k - 1)
+    hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substring(text_col, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    minima = F.aggregate(
+        F.array(hashes),
+        F.array().cast("array<string>"),
+        lambda acc, h: F.when(
+            F.size(h) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)),
+                lambda i: F.array_min(F.slice(h, i, F.lit(w))),
+            ),
+        ).otherwise(acc),
+    )
+    empty = F.array().cast("array<struct<pos:int,fp:string>>")
+    return F.aggregate(
+        F.array(minima),
+        empty,
+        lambda acc, m: F.when(
+            F.size(m) >= 1,
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(m)),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"), F.element_at(m, i).alias("fp")
+                    ),
+                ),
+                lambda s: (s["pos"] == F.lit(1))
+                | (F.element_at(m, s["pos"] - F.lit(1)) != s["fp"]),
+            ),
+        ).otherwise(acc),
+    )
+
+
+def winnow_run_starts(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, fp): one row per run-compressed fingerprint
+    occurrence — the positioned input ``winnow_span_runs`` matches on.
+    Map-only signature stage (the explode unpacks an already-computed
+    array; no window sort over the gram stream)."""
+    return (
+        df.filter(F.length(F.col(text_col)) >= F.lit(k + w - 1))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_winnow_run_starts_expr(F.col(text_col), k, w)).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def winnow_span_runs(
+    df: DataFrame,
+    min_run: int = 3,
+    max_postings: int = 4,
+    gap: int = 8,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-PASSAGE span detection (the exact-substring dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", 2021, re-expressed relationally): where
+    ``winnow_overlap_pairs`` only counts shared fingerprints per doc
+    pair, this recovers the copied spans themselves — maximal runs of
+    matched fingerprints that advance in lockstep in both docs.
+
+    Plan: rare-fingerprint inverted index (posting cap = the LSH-style
+    skew guard) → self-join on fp → group matches by the DIAGONAL
+    ``pa - pb`` (collinear matches = same copied region shifted by a
+    constant offset — the classic dotplot/plagiarism-detection trick)
+    → gaps-and-islands split where consecutive matched positions jump
+    by more than ``gap`` chars → one output row per island with char
+    offsets (``a_start..a_end``) in both docs. Every stage is a
+    bounded equi-shuffle; the window sort runs per (pair, diagonal),
+    which the posting cap keeps small. Output spans feed the same
+    span-surgery a training pipeline does: cut the duplicated range
+    out of one side instead of dropping whole docs."""
+    from pyspark.sql import Window
+
+    occ = _materialize_shingles(winnow_run_starts(df, k, w, text_col, id_col))
+    counts = occ.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    bounded = occ.join(counts.filter(F.col("c") <= max_postings).select("fp"), "fp")
+    m = (
+        bounded.alias("a")
+        .join(bounded.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    wd = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    span_tail = F.lit(k + w - 2)  # last gram of the last window
+    return (
+        m.withColumn(
+            "_nf", F.when(F.col("pa") - F.lag("pa").over(wd) > gap, 1).otherwise(0)
+        )
+        .withColumn(
+            "island", F.sum("_nf").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("id_a", "id_b", "diag", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.min("pa").alias("a_start"),
+            (F.max("pa") + span_tail).alias("a_end"),
+            F.min("pb").alias("b_start"),
+            (F.max("pb") + span_tail).alias("b_end"),
+        )
+        .filter(F.col("n_fps") >= min_run)
+        .drop("island")
+    )

@@ -552,3 +552,79 @@ def salted_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_point: str,
+    right_point: str,
+    window_us: int,
+    bin_us: int | None = None,
+) -> DataFrame:
+    """RANGE JOIN via bin bucketing — the scale-safe plan for Spark's
+    classic non-equi-join trap. A naive ``r.t >= l.t - W AND r.t <
+    l.t`` predicate gives Catalyst no equi-key, so it falls back to a
+    broadcast-nested-loop (or worse, a cartesian) — quadratic per key
+    and a guaranteed OOM at 100 TB. Binning restores an equi-key: both
+    sides bucket their time point into ``bin_us``-wide bins, the left
+    side fans out to the two candidate bins covering ``[t-W, t)``
+    (``bin_us == window_us`` ⇒ exactly 2), and the exact range
+    predicate runs AFTER the hash equi-join, on candidates only.
+    Cost: one 2× fan-out of the probe side + one hash shuffle on
+    (key, bin) — linear, AQE-skew-splittable, the standard interval-
+    join shape (Flink's interval join and range-join hints in
+    Databricks Runtime use the same bucketing idea).
+
+    Returns left rows joined to candidate right rows with a
+    ``_match`` flag — callers aggregate (count/sum) over the flag so
+    zero-match left rows survive (LEFT join semantics preserved).
+    """
+    if bin_us is None:
+        bin_us = window_us
+    lb = left.withColumn(
+        "_bin",
+        F.explode(
+            F.array(
+                F.floor(F.col(left_point) / F.lit(bin_us)),
+                F.floor(F.col(left_point) / F.lit(bin_us)) - F.lit(1),
+            )
+        ),
+    )
+    rb = right.withColumn("_bin", F.floor(F.col(right_point) / F.lit(bin_us)))
+    j = lb.join(rb, [key, "_bin"], "left")
+    return j.withColumn(
+        "_match",
+        (F.col(right_point) >= F.col(left_point) - F.lit(window_us))
+        & (F.col(right_point) < F.col(left_point)),
+    ).drop("_bin")
+
+
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution range-join: for every purchase event, how many of
+    the same user's clicks landed in the preceding hour. Work in
+    integer epoch-microseconds end to end (``unix_micros`` here,
+    ``epoch_us`` in the DuckDB oracle) so the range predicate is
+    exact-integer in both engines. The oracle states the naive
+    inequality join; this plan is the binned equivalent — identical
+    result, linear cost."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hour = 3_600_000_000
+    # parquet ts is TIMESTAMP_NTZ; the cast reinterprets the wall time
+    # as UTC (session tz pinned above) — same reading as DuckDB's
+    # epoch_us on a naive timestamp
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("p_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("c_us")
+    )
+    j = range_join_binned(p, c, "user_id", "p_us", "c_us", hour)
+    return j.groupBy("event_id", "user_id").agg(
+        F.sum(F.when(F.col("_match"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clicks_prev_hour")
+    )

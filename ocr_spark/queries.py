@@ -410,6 +410,41 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("doc_id", F.array_join("fps", ",").alias("fps"))
 
 
+def q_winnow_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage spans (exact-substring dedup à la Lee et
+    al. 2021): maximal diagonal runs of matched winnowing
+    fingerprints → char offsets of the copied region in BOTH docs.
+    Scan widened first — q_simhash rationale."""
+    from ocr_spark.operators.dedup import winnow_span_runs
+
+    return winnow_span_runs(
+        _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def q_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup pipeline end to end: LSH pairs → duplicate
+    clusters → keep the highest-QUALITY member per cluster (tie → min
+    id) instead of the arbitrary min-id keeper. One row per doc with
+    its cluster, score, and keep/drop verdict."""
+    from ocr_spark.operators.dedup import (
+        duplicate_components,
+        keep_best_representative,
+        minhash_lsh_dedup,
+    )
+    from ocr_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup(docs, threshold=0.5)
+    comps = duplicate_components(docs, pairs)
+    scored = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return keep_best_representative(scored, comps)
+
+
+def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.clicks_before_purchase(spark, sf_dir)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: shared word-3-grams vs the held-out
     eval slice (doc_id % 41 == 0), map-only corpus pass."""
@@ -671,6 +706,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "winnow_docs": q_winnow,
     "winnow_overlap": q_winnow_overlap,
+    "winnow_span_runs": q_winnow_span_runs,
+    "near_dedup_keep_best": q_near_dedup_keep_best,
+    "clicks_before_purchase": q_clicks_before_purchase,
     # corpus-level training-data ops
     "decontaminate_docs": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -2076,4 +2114,100 @@ SELECT source,
   CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
   CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
 FROM j GROUP BY source
+"""
+
+# range join: binning never changes semantics (exact predicate re-runs
+# on candidates), so the oracle is the PLAIN inequality join
+ORACLE_SQL["clicks_before_purchase"] = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       CAST(count(c.c_us) AS BIGINT) AS n_clicks_prev_hour
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
+GROUP BY 1, 2
+"""
+
+# duplicated-passage spans: same winnowing minima as winnow_docs, run-
+# compressed to occurrence starts, diagonal (pa-pb) match grouping +
+# gaps-and-islands — the exploded/window formulation of the Spark
+# side's map-only signature stage
+ORACLE_SQL["winnow_span_runs"] = """
+WITH grams AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, greatest(length(text) - 6, 1))) AS INTEGER) AS i,
+         md5(substr(text, CAST(unnest(range(1, greatest(length(text) - 6, 1))) AS INTEGER), 8)) AS h
+  FROM documents
+),
+minima AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         max(i) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+),
+rc AS (
+  SELECT doc_id, i AS pos, wmin AS fp,
+         lag(wmin) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM (SELECT doc_id, i, wmin FROM minima WHERE i <= n - 3)
+),
+occ AS (SELECT doc_id, pos, fp FROM rc WHERE prev IS NULL OR prev <> fp),
+counts AS (SELECT fp, count(*) AS c FROM occ GROUP BY fp),
+bounded AS (SELECT o.* FROM occ o JOIN counts USING (fp) WHERE c <= 4),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM bounded a JOIN bounded b USING (fp) WHERE a.doc_id < b.doc_id
+),
+fl AS (
+  SELECT *, CASE WHEN pa - lag(pa) OVER (PARTITION BY id_a, id_b, diag
+                                         ORDER BY pa) > 8
+            THEN 1 ELSE 0 END AS nf
+  FROM m
+),
+isl AS (
+  SELECT *, sum(nf) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+)
+SELECT id_a, id_b, CAST(diag AS INTEGER) AS diag,
+       CAST(count(*) AS BIGINT) AS n_fps,
+       CAST(min(pa) AS INTEGER) AS a_start,
+       CAST(max(pa) + 10 AS INTEGER) AS a_end,
+       CAST(min(pb) AS INTEGER) AS b_start,
+       CAST(max(pb) + 10 AS INTEGER) AS b_end
+FROM isl GROUP BY id_a, id_b, diag, island
+HAVING count(*) >= 3
+"""
+
+# cluster-representative selection: dedup_components' recursive-CTE
+# closure + the quality CTE + a per-component argmax window
+ORACLE_SQL["near_dedup_keep_best"] = f"""
+WITH RECURSIVE
+mp AS (SELECT id_a, id_b FROM ({_minhash_sql()})),
+edges AS (SELECT id_a AS src, id_b AS dst FROM mp
+          UNION SELECT id_b, id_a FROM mp),
+reach AS (
+  SELECT doc_id AS id, doc_id AS root FROM documents
+  UNION
+  SELECT e.dst AS id, r.root AS root FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (
+  SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS component
+  FROM reach GROUP BY id
+),
+q AS ({_quality_sql()}),
+r AS (
+  SELECT c.doc_id, c.component, q.quality,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY quality DESC, c.doc_id ASC) AS rnk
+  FROM comp c JOIN q USING (doc_id)
+)
+SELECT doc_id, component, quality, rnk = 1 AS is_best FROM r
 """

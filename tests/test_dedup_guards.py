@@ -70,3 +70,48 @@ def test_ngram_posting_cap_bounds_hot_shingles(spark):
     assert capped.count() == 0  # the only shingle is in 5 > 2 docs
     uncapped = ngram_jaccard_pairs(sdf, threshold=0.1, max_postings=100)
     assert uncapped.count() == 10  # all C(5,2) exact-dup pairs
+
+
+def test_winnow_span_runs_finds_planted_passage(spark):
+    """A passage copied verbatim between two docs must come back as
+    one island with char offsets covering it in BOTH docs; unrelated
+    docs must not pair."""
+    from ocr_spark.operators.dedup import winnow_span_runs
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "AAAA start one " + passage + " tail text one zzz"),
+        (2, "BBBB completely different opening " + passage + " other end"),
+        (3, "unrelated content with no overlap whatsoever in any form here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = winnow_span_runs(df, min_run=3, max_postings=4).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert pairs == {(1, 2)}
+    r = max((x for x in out if (x.id_a, x.id_b) == (1, 2)), key=lambda x: x.n_fps)
+    a_text, b_text = rows[0][1], rows[1][1]
+    # the reported span must cover the copied region to within window
+    # slack: pos is a 1-indexed window START, and a window beginning up
+    # to w-1 grams before the passage can pick a passage gram as its
+    # minimum, so the span may start <= 3 early; the tail extends
+    # k+w-2 past the last window start
+    a_lo, b_lo = a_text.index(passage) + 1, b_text.index(passage) + 1
+    assert a_lo - 3 <= r.a_start <= r.a_end <= a_lo + len(passage) + 10
+    assert b_lo - 3 <= r.b_start <= r.b_end <= b_lo + len(passage) + 10
+    # diagonal = constant shift between the two copies
+    assert r.diag == r.a_start - r.b_start
+
+
+def test_keep_best_representative_picks_highest_score(spark):
+    from pyspark.sql import functions as F
+    from ocr_spark.operators.dedup import keep_best_representative
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], ["doc_id", "component"]
+    ).withColumn("is_keeper", F.col("doc_id") == F.col("component"))
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5)], ["doc_id", "quality"]
+    )
+    out = {r.doc_id: r.is_best for r in keep_best_representative(scored, comps).collect()}
+    # 2 and 3 tie on score -> smaller id wins; singleton keeps itself
+    assert out == {1: False, 2: True, 3: False, 4: True}

@@ -367,3 +367,29 @@ def test_transaction_report_sink(spark, transcripts_path, tmp_path):
     assert "loading_net_weight" in rows[0] and "n_weighbridge" in rows[0]
     convs = [r["conv_id"] for r in rows]
     assert convs == sorted(convs)
+
+
+def test_range_join_binned_bin_boundaries(spark):
+    """Hand-checked window semantics incl. bin-boundary straddles:
+    [t-W, t) is inclusive-exclusive and candidates from BOTH bins
+    survive the exact filter."""
+    from pyspark.sql import functions as F
+    from ocr_spark.operators.relational import range_join_binned
+
+    W = 100
+    left = spark.createDataFrame([(1, 10, 250)], ["event_id", "k", "t"])
+    right = spark.createDataFrame(
+        [(10, 150), (10, 151), (10, 249), (10, 250), (10, 90), (11, 200)],
+        ["k", "t"],
+    )
+    j = range_join_binned(
+        left, right.withColumnRenamed("t", "rt"), "k", "t", "rt", W
+    )
+    n = (
+        j.groupBy("event_id")
+        .agg(F.sum(F.when(F.col("_match"), 1).otherwise(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    # matches: 150 (== t-W, inclusive), 151, 249; NOT 250 (== t,
+    # exclusive), NOT 90 (too old), NOT other key
+    assert n == 3

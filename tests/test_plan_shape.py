@@ -246,3 +246,29 @@ def test_corpus_filter_single_shuffle(spark):
     from ocr_spark.queries import q_corpus_filter
 
     assert count_exchanges(q_corpus_filter(spark, "/root/testdata/sf0.001")) == 1
+
+
+def test_range_join_binned_stays_equi_join(spark):
+    """The whole point of binning: Catalyst must see an equi-key.
+    A naive range predicate degenerates to BroadcastNestedLoopJoin /
+    CartesianProduct — quadratic per key at scale."""
+    from ocr_spark.operators.relational import clicks_before_purchase
+
+    df = clicks_before_purchase(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_winnow_span_runs_signature_stage_map_only(spark):
+    """The positioned fingerprint stage (winnow_run_starts) must stay
+    map-only like winnow_docs: no exchange, no window sort over the
+    per-character gram stream — the minima array is computed in one
+    projection and only then exploded."""
+    from ocr_spark.operators.dedup import winnow_run_starts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = winnow_run_starts(docs)
+    assert count_exchanges(df) == 0
+    assert "Window" not in physical_plan(df)
