@@ -27,7 +27,13 @@ from ocr_spark.operators.corpus import (  # noqa: E402
     source_mixture_weights,
     train_val_split,
 )
-from ocr_spark.operators.dedup import dedup_exact, minhash_lsh_dedup  # noqa: E402
+from ocr_spark.operators.dedup import (  # noqa: E402
+    dedup_exact,
+    duplicate_components,
+    keep_best_representative,
+    minhash_lsh_dedup,
+    winnow_span_runs,
+)
 from ocr_spark.operators.sketch import bloom_semijoin_stats, hll_distinct  # noqa: E402
 from ocr_spark.plans.session import build_session  # noqa: E402
 from ocr_spark.sources.io import load_table  # noqa: E402
@@ -53,6 +59,18 @@ def main() -> None:
     print("== near-dup pairs (MinHash-LSH, threshold 0.5)")
     pairs = minhash_lsh_dedup(kept.select("doc_id", "text"), threshold=0.5)
     print(f"   {pairs.count()} near-dup pairs flagged")
+
+    print("== clusters -> keep the best-quality member of each")
+    comps = duplicate_components(kept.select("doc_id", "text"), pairs)
+    reps = keep_best_representative(
+        kept.select("doc_id", F.col("q").alias("quality")), comps
+    )
+    n_drop = reps.filter(~F.col("is_best")).count()
+    print(f"   {n_drop} docs dropped in favor of a higher-quality duplicate")
+
+    print("== duplicated-passage spans (exact-substring dedup)")
+    spans = winnow_span_runs(kept.select("doc_id", "text"))
+    spans.orderBy(F.desc("n_fps"), "id_a", "id_b").show(3)
 
     print("== benchmark decontamination (eval slice = doc_id % 41 == 0)")
     decon = decontaminate(kept.select("doc_id", "text"))
