@@ -560,3 +560,48 @@ def snapshot_diff(
             ),
         )
     )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    base_rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Turn the temperature mixing WEIGHTS into an actual sampling
+    PASS: per-source keep rate = min(1, base_rate × sample_mult) from
+    ``source_mixture_weights``, applied as a deterministic Bernoulli
+    draw — the doc's md5-derived 32-bit uniform against the rate's
+    integer threshold. No RNG state anywhere: any executor, any retry,
+    any engine draws the same verdict for the same doc (the same
+    coordination-free trick as ``train_val_split``), which is what
+    makes a 100 TB sampling pass resumable and auditable. The weights
+    table is source-cardinality metadata → broadcast; the corpus pass
+    is map-only after it.
+
+    Output: (id, source, keep_rate, is_kept) for every doc."""
+    w = source_mixture_weights(df, text_col).select("source", "sample_mult")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix|"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    # NO rounding on the rate: base_rate × sample_mult is one IEEE
+    # multiply on a double both engines already hold bit-identically
+    # (sample_mult is the round-6 output column) — rounding HERE would
+    # re-create exact 7th-decimal ties (0.5 × a 6-dp value), which the
+    # engines break differently. One multiply, zero rounds, identical.
+    rate = F.least(F.lit(1.0), F.lit(base_rate) * F.col("sample_mult"))
+    return (
+        df.select(id_col, "source")
+        .join(F.broadcast(w), "source")
+        .withColumn("keep_rate", rate)
+        .withColumn(
+            "is_kept",
+            u32
+            < F.floor(F.col("keep_rate") * F.lit(4294967296.0)).cast("long"),
+        )
+        .select(id_col, "source", "keep_rate", "is_kept")
+    )

@@ -628,3 +628,37 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_clicks_prev_hour")
     )
+
+
+def rolling_user_value(
+    spark: SparkSession, sf_dir: str, frame: int = 5
+) -> DataFrame:
+    """Moving-window aggregate per key — the rolling-feature shape
+    every event-stream feature pipeline needs (trailing spend, rate
+    counters). One shuffle on user_id, then a per-user linear frame
+    scan; the frame is row-bounded so state is O(frame) regardless of
+    history length. Values go to integer CENTS before summing
+    (round(value·100) — double-representable ties don't exist at the
+    3rd decimal) so the window sum is exact-integer and independent of
+    both fold order and the engines' float-window implementations
+    (Spark's running frame vs DuckDB's segment tree would diverge on
+    raw double sums). Total order (ts, event_id) pins frame membership
+    under timestamp ties."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(frame - 1), 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .withColumn("roll_cents", F.sum("c").over(w))
+        .withColumn("n_in_window", F.count("c").over(w))
+        .select("event_id", "user_id", "roll_cents", "n_in_window")
+    )

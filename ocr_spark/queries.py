@@ -445,6 +445,18 @@ def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.clicks_before_purchase(spark, sf_dir)
 
 
+def q_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature weights applied as a deterministic sampling
+    pass — coordination-free Bernoulli by md5 threshold."""
+    from ocr_spark.operators.corpus import materialize_mixture
+
+    return materialize_mixture(_docs(spark, sf_dir))
+
+
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rolling_user_value(spark, sf_dir)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: shared word-3-grams vs the held-out
     eval slice (doc_id % 41 == 0), map-only corpus pass."""
@@ -723,6 +735,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "script_profile": q_script_profile,
     "source_mixture_weights": q_source_mixture,
+    "materialize_mixture": q_materialize_mixture,
+    "rolling_user_value": q_rolling_user_value,
     "unigram_commonness": q_unigram_commonness,
     # mergeable sketches (distributed cardinality / frequency / join pruning)
     "hll_distinct": q_hll_distinct,
@@ -2210,4 +2224,49 @@ r AS (
   FROM comp c JOIN q USING (doc_id)
 )
 SELECT doc_id, component, quality, rnk = 1 AS is_best FROM r
+"""
+
+# deterministic mixture sampling: the source_mixture_weights CTE
+# re-stated, then the SAME rounded-threshold Bernoulli draw — the
+# binning/rounding rules make the double threshold bit-identical
+ORACLE_SQL["materialize_mixture"] = r"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM s),
+r AS (SELECT source, n_tokens, sqrt(n_tokens / t) AS wr FROM s, tot),
+z AS (SELECT list_reduce(list(wr ORDER BY source), (a, b) -> a + b) AS z FROM r),
+w AS (
+  -- inner round = the sample_mult column the Spark side consumes
+  -- (already rounded to 6 dp); the 0.5 multiply is then EXACT in
+  -- IEEE, so no outer round (which would mint 7th-decimal ties the
+  -- engines break differently)
+  SELECT source,
+         least(1.0, 0.5 * round((wr / z) / (n_tokens / t), 6)) AS keep_rate
+  FROM r, tot, z
+)
+SELECT d.doc_id, d.source, w.keep_rate,
+       ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         < CAST(floor(keep_rate * 4294967296.0) AS BIGINT) AS is_kept
+FROM documents d JOIN w USING (source)
+"""
+
+# rolling window: integer-cents sums are fold-order-free, so Spark's
+# running frame and DuckDB's segment tree agree exactly
+ORACLE_SQL["rolling_user_value"] = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS roll_cents,
+  CAST(count(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_in_window
+FROM e
 """

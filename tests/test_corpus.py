@@ -271,3 +271,29 @@ def test_unigram_commonness_broadcasts_vocab(spark):
     # + the one-partial-row-per-task n_docs count; nothing corpus-sized
     # beyond the re-agg
     assert count_exchanges(df) <= 4
+
+
+def test_materialize_mixture_flattens_and_is_total(spark):
+    """Temperature sampling must (a) cover every doc exactly once,
+    (b) give the token-richest source the LOWEST keep rate (that is
+    what α=0.5 flattening means), and (c) be a pure function of
+    doc_id — rerunning yields the identical verdict set."""
+    from ocr_spark.operators.corpus import materialize_mixture
+    from ocr_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = materialize_mixture(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    rate_by_source = {r.source: r.keep_rate for r in rows}
+    toks = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n"))
+        .collect()
+    }
+    biggest = max(toks, key=lambda s: toks[s])
+    assert rate_by_source[biggest] == min(rate_by_source.values())
+    again = {(r.doc_id, r.is_kept) for r in materialize_mixture(docs).collect()}
+    assert again == {(r.doc_id, r.is_kept) for r in rows}

@@ -393,3 +393,33 @@ def test_range_join_binned_bin_boundaries(spark):
     # matches: 150 (== t-W, inclusive), 151, 249; NOT 250 (== t,
     # exclusive), NOT 90 (too old), NOT other key
     assert n == 3
+
+
+def test_rolling_user_value_hand_checked(spark):
+    """Frame membership and exact cents arithmetic on a crafted
+    stream: 6 events for one user, frame 5."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from ocr_spark.operators import relational
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, "click", float(i) + 0.25, "{}")
+        for i in range(1, 7)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r.event_id: (r.roll_cents, r.n_in_window)
+        for r in relational.rolling_user_value(spark, d).collect()
+    }
+    # cents = 125,225,...,625; frame of 5 trailing rows
+    assert out[1] == (125, 1)
+    assert out[5] == (125 + 225 + 325 + 425 + 525, 5)
+    assert out[6] == (225 + 325 + 425 + 525 + 625, 5)
