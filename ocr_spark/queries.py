@@ -445,6 +445,20 @@ def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.clicks_before_purchase(spark, sf_dir)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, public): near-dup
+    removal in EMBEDDING space — sign-LSH cosine pairs resolve into
+    semantic clusters via the same connected-components operator the
+    text pipeline uses; one representative (min vec_id) survives per
+    cluster. Textually distinct rephrasings collapse here that no
+    shingle method can catch — the complement of MinHash dedup."""
+    from ocr_spark.operators.dedup import duplicate_components
+
+    emb = _emb(spark, sf_dir)
+    pairs = S.cosine_neardup_lsh(emb, threshold=0.3, bits=4)
+    return duplicate_components(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
 def q_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The temperature weights applied as a deterministic sampling
     pass — coordination-free Bernoulli by md5 threshold."""
@@ -737,6 +751,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mixture_weights": q_source_mixture,
     "materialize_mixture": q_materialize_mixture,
     "rolling_user_value": q_rolling_user_value,
+    "semantic_dedup": q_semantic_dedup,
     "unigram_commonness": q_unigram_commonness,
     # mergeable sketches (distributed cardinality / frequency / join pruning)
     "hll_distinct": q_hll_distinct,
@@ -2269,4 +2284,21 @@ SELECT event_id, user_id,
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
     AS n_in_window
 FROM e
+"""
+
+# semantic dedup: reachability closure over the SAME sign-LSH cosine
+# pair graph the embedding_neardup_lsh oracle states
+ORACLE_SQL["semantic_dedup"] = f"""
+WITH RECURSIVE
+np AS (SELECT id_a, id_b FROM ({ORACLE_SQL["embedding_neardup_lsh"]})),
+edges AS (SELECT id_a AS src, id_b AS dst FROM np
+          UNION SELECT id_b, id_a FROM np),
+reach AS (
+  SELECT vec_id AS id, vec_id AS root FROM embeddings
+  UNION
+  SELECT e.dst AS id, r.root AS root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS vec_id, CAST(min(root) AS BIGINT) AS component,
+       id = min(root) AS is_keeper
+FROM reach GROUP BY id
 """

@@ -272,3 +272,22 @@ def test_winnow_span_runs_signature_stage_map_only(spark):
     df = winnow_run_starts(docs)
     assert count_exchanges(df) == 0
     assert "Window" not in physical_plan(df)
+
+
+def test_materialize_mixture_broadcasts_weights(spark):
+    """The corpus-side sampling pass must join the source-cardinality
+    weights table by BROADCAST — a shuffle join here would exchange
+    the whole corpus to meet a metadata-sized table."""
+    from ocr_spark.operators.corpus import materialize_mixture
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = physical_plan(materialize_mixture(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_user_value_single_shuffle(spark):
+    from ocr_spark.operators.relational import rolling_user_value
+
+    df = rolling_user_value(spark, SF_DIR)
+    assert count_exchanges(df) == 1
