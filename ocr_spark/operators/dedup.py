@@ -850,3 +850,80 @@ def winnow_span_runs(
         .filter(F.col("n_fps") >= min_run)
         .drop("island")
     )
+
+
+def apply_span_surgery(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SPAN SURGERY — the consumption side of ``winnow_span_runs``:
+    instead of dropping a whole doc because one passage is copied, cut
+    the copied char range out of the HIGHER-id doc (id_a < id_b by
+    construction, so the earlier doc keeps its text — the same
+    canonical-keeper rule as exact dedup). At corpus scale this is the
+    difference between losing whole documents and losing only the
+    duplicated bytes (Lee et al. 2021 report the same motivation for
+    substring-level dedup).
+
+    Plan: spans → per-doc overlap merge (sort islands inside a
+    doc-partitioned window — span counts per doc are tiny) → one left
+    join back to the corpus → the cut itself is ONE scalar fold over
+    the merged span array (no explode, no per-char rows; stitches the
+    kept segments with substring arithmetic). Output per doc:
+    (doc_id, n_spans_cut, n_chars_removed, clean_len, clean_fp) —
+    clean text is fingerprinted (md5) so the row stays scalar-cell."""
+    from pyspark.sql import Window
+
+    cut = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        F.col("b_end").alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prevmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        cut.withColumn(
+            "nf",
+            F.when(F.col("s") > F.coalesce(prevmax, F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn(
+            "island", F.sum("nf").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans"),
+        F.count(F.lit(1)).alias("n_spans_cut"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_chars_removed"),
+    )
+    j = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(per_doc, "doc_id", "left")
+    # fold over merged (disjoint, sorted) spans: emit the text between
+    # the previous cut's end and this span's start, then jump past it
+    stitched = F.expr(
+        """
+        aggregate(
+          spans,
+          struct(1 AS pos, '' AS acc),
+          (a, x) -> struct(
+            x.e + 1 AS pos,
+            concat(a.acc, substring(text, a.pos, x.s - a.pos)) AS acc
+          ),
+          a -> concat(a.acc, substring(text, a.pos, length(text) - a.pos + 1))
+        )
+        """
+    )
+    clean = F.when(F.col("spans").isNull(), F.col("text")).otherwise(stitched)
+    return j.select(
+        "doc_id",
+        F.coalesce("n_spans_cut", F.lit(0)).cast("bigint").alias("n_spans_cut"),
+        F.coalesce("n_chars_removed", F.lit(0))
+        .cast("bigint")
+        .alias("n_chars_removed"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean).alias("clean_fp"),
+    )

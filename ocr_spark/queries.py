@@ -445,6 +445,17 @@ def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.clicks_before_purchase(spark, sf_dir)
 
 
+def q_span_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span surgery end to end: detect duplicated passages
+    (winnow_span_runs), then cut them out of the higher-id doc —
+    whole-corpus output with per-doc cut accounting and the cleaned
+    text's fingerprint."""
+    from ocr_spark.operators.dedup import apply_span_surgery, winnow_span_runs
+
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return apply_span_surgery(docs, winnow_span_runs(docs))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023, public): near-dup
     removal in EMBEDDING space — sign-LSH cosine pairs resolve into
@@ -752,6 +763,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "materialize_mixture": q_materialize_mixture,
     "rolling_user_value": q_rolling_user_value,
     "semantic_dedup": q_semantic_dedup,
+    "span_surgery": q_span_surgery,
     "unigram_commonness": q_unigram_commonness,
     # mergeable sketches (distributed cardinality / frequency / join pruning)
     "hll_distinct": q_hll_distinct,
@@ -2301,4 +2313,59 @@ reach AS (
 SELECT id AS vec_id, CAST(min(root) AS BIGINT) AS component,
        id = min(root) AS is_keeper
 FROM reach GROUP BY id
+"""
+
+# span surgery: the winnow_span_runs SQL re-stated as a CTE, overlap
+# merge via the same prev-max islands, then the cleaned text rebuilt
+# by the PER-CHAR twin (keep chars outside removed ranges, string_agg
+# in position order) — a completely different reconstruction algorithm
+# from the Spark side's span-fold stitcher, same value
+ORACLE_SQL["span_surgery"] = f"""
+WITH spans_q AS ({ORACLE_SQL["winnow_span_runs"]}),
+cut AS (SELECT id_b AS doc_id, b_start AS s, b_end AS e FROM spans_q),
+fl AS (
+  SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+            THEN 1 ELSE 0 END AS nf
+  FROM cut
+),
+isl AS (
+  SELECT *, sum(nf) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+),
+merged AS (
+  SELECT doc_id, island, min(s) AS s, max(e) AS e
+  FROM isl GROUP BY doc_id, island
+),
+acct AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut,
+         CAST(sum(e - s + 1) AS BIGINT) AS n_chars_removed
+  FROM merged GROUP BY doc_id
+),
+removed AS (
+  SELECT DISTINCT doc_id, CAST(unnest(range(s, e + 1)) AS INTEGER) AS i
+  FROM merged
+),
+chars AS (
+  SELECT doc_id, CAST(unnest(range(1, length(text) + 1)) AS INTEGER) AS i,
+         substr(text, CAST(unnest(range(1, length(text) + 1)) AS INTEGER), 1) AS ch
+  FROM documents
+),
+clean AS (
+  SELECT c.doc_id,
+         coalesce(string_agg(c.ch, '' ORDER BY c.i)
+                  FILTER (WHERE r.i IS NULL), '') AS clean_text
+  FROM chars c LEFT JOIN removed r ON r.doc_id = c.doc_id AND r.i = c.i
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_spans_cut, 0) AS n_spans_cut,
+       coalesce(a.n_chars_removed, 0) AS n_chars_removed,
+       CAST(length(coalesce(cl.clean_text, d.text)) AS BIGINT) AS clean_len,
+       md5(coalesce(cl.clean_text, d.text)) AS clean_fp
+FROM documents d
+LEFT JOIN acct a USING (doc_id)
+LEFT JOIN clean cl ON cl.doc_id = d.doc_id AND a.doc_id IS NOT NULL
 """

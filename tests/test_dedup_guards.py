@@ -115,3 +115,34 @@ def test_keep_best_representative_picks_highest_score(spark):
     out = {r.doc_id: r.is_best for r in keep_best_representative(scored, comps).collect()}
     # 2 and 3 tie on score -> smaller id wins; singleton keeps itself
     assert out == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_span_surgery_invariants(spark):
+    """Surgery accounting must balance: clean_len = len(text) −
+    n_chars_removed for every doc; untouched docs keep their exact
+    fingerprint; the cut side is always the HIGHER id of a pair."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from ocr_spark.operators.dedup import apply_span_surgery, winnow_span_runs
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "AAAA start one " + passage + " tail text one zzz"),
+        (2, "BBBB completely different opening " + passage + " other end"),
+        (3, "unrelated content with no overlap whatsoever in any form here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = winnow_span_runs(docs)
+    out = {r.doc_id: r for r in apply_span_surgery(docs, spans).collect()}
+    assert set(out) == {1, 2, 3}
+    for doc_id, text in rows:
+        r = out[doc_id]
+        assert r.clean_len == len(text) - r.n_chars_removed
+    # doc 1 is the keeper (smaller id), doc 3 untouched
+    assert out[1].n_spans_cut == 0
+    assert out[3].n_spans_cut == 0
+    assert out[1].clean_fp == hashlib.md5(rows[0][1].encode()).hexdigest()
+    # doc 2 lost (at least most of) the copied passage
+    assert out[2].n_spans_cut >= 1
+    assert out[2].n_chars_removed >= len(passage) - 6
