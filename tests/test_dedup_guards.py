@@ -146,3 +146,54 @@ def test_span_surgery_invariants(spark):
     # doc 2 lost (at least most of) the copied passage
     assert out[2].n_spans_cut >= 1
     assert out[2].n_chars_removed >= len(passage) - 6
+
+
+def test_span_runs_degenerate_docs(spark):
+    """Pathological inputs must stay bounded, not blow up the join:
+    a single repeated character collapses to ONE run-compressed
+    fingerprint occurrence per doc (all grams identical), and the
+    posting cap drops vocabulary-grade fingerprints shared by many
+    docs. Empty/short docs are filtered by the length predicate."""
+    from ocr_spark.operators.dedup import winnow_run_starts, winnow_span_runs
+
+    rows = [
+        (1, "x" * 5000),  # one gram value, 4989 windows
+        (2, "x" * 5000),  # its twin
+        (3, ""),  # empty
+        (4, "short"),  # below k+w-1
+        (5, "y" * 20 + "x" * 20),  # two runs
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    occ = winnow_run_starts(docs).collect()
+    per_doc = {}
+    for r in occ:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    # run compression: constant text -> exactly one occurrence
+    assert len(per_doc[1]) == 1 and per_doc[1][0].pos == 1
+    assert len(per_doc[5]) <= 3  # y-run, boundary, x-run
+    assert 3 not in per_doc and 4 not in per_doc
+    # pairs exist only where rare fingerprints align (1-2 twin pair);
+    # nothing quadratic, nothing self-paired
+    pairs = winnow_span_runs(docs, min_run=1).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert {(r.id_a, r.id_b) for r in pairs} <= {(1, 2), (1, 5), (2, 5)}
+
+
+def test_span_surgery_no_spans_is_identity(spark):
+    """Surgery over an empty span set must return every doc unchanged
+    (left-join path), including empty text."""
+    import hashlib
+
+    from ocr_spark.operators.dedup import apply_span_surgery
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], ["doc_id", "text"]
+    )
+    spans = spark.createDataFrame(
+        [], "id_a long, id_b long, diag int, n_fps long, "
+        "a_start int, a_end int, b_start int, b_end int"
+    )
+    out = {r.doc_id: r for r in apply_span_surgery(docs, spans).collect()}
+    assert out[1].n_spans_cut == 0 and out[2].n_spans_cut == 0
+    assert out[1].clean_fp == hashlib.md5(b"hello world").hexdigest()
+    assert out[2].clean_len == 0
