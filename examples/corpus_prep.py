@@ -22,6 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from ocr_spark.functions.text import lang_id, pii_redact, quality_score  # noqa: E402
 from ocr_spark.operators.corpus import (  # noqa: E402
     decontaminate,
+    materialize_mixture,
     pack_sequences,
     snapshot_diff,
     source_mixture_weights,
@@ -87,6 +88,13 @@ def main() -> None:
     print("== deterministic split + temperature mixing weights")
     train_val_split(clean).groupBy("split").count().orderBy("split").show()
     source_mixture_weights(clean).orderBy("source").show(5)
+
+    print("== the weights applied as a sampling pass (RNG-free)")
+    mixed = materialize_mixture(clean)
+    mixed.groupBy("source", "keep_rate").agg(
+        F.sum(F.col("is_kept").cast("int")).alias("kept"),
+        F.count(F.lit(1)).alias("total"),
+    ).orderBy("source").show(5)
 
     print("== monitoring sketches")
     hll_distinct(
