@@ -583,14 +583,14 @@ def range_join_binned(
     """
     if bin_us is None:
         bin_us = window_us
+    # candidate bins covering [t-W, t): ceil(W/bin)+1 of them — 2 in
+    # the default bin == window case. A smaller bin trades fan-out for
+    # tighter candidates (fewer exact-filter misses) on skewed data.
+    n_bins = -(-window_us // bin_us)  # ceil
+    base = F.floor(F.col(left_point) / F.lit(bin_us))
     lb = left.withColumn(
         "_bin",
-        F.explode(
-            F.array(
-                F.floor(F.col(left_point) / F.lit(bin_us)),
-                F.floor(F.col(left_point) / F.lit(bin_us)) - F.lit(1),
-            )
-        ),
+        F.explode(F.array(*[base - F.lit(i) for i in range(n_bins + 1)])),
     )
     rb = right.withColumn("_bin", F.floor(F.col(right_point) / F.lit(bin_us)))
     j = lb.join(rb, [key, "_bin"], "left")

@@ -423,3 +423,34 @@ def test_rolling_user_value_hand_checked(spark):
     assert out[1] == (125, 1)
     assert out[5] == (125 + 225 + 325 + 425 + 525, 5)
     assert out[6] == (225 + 325 + 425 + 525 + 625, 5)
+
+
+def test_range_join_binned_narrow_bins(spark):
+    """bin_us < window_us must widen the candidate fan-out: same
+    result as the default binning on the same data."""
+    from pyspark.sql import functions as F
+    from ocr_spark.operators.relational import range_join_binned
+
+    W = 100
+    left = spark.createDataFrame(
+        [(1, 10, 250), (2, 10, 995)], ["event_id", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(10, 150), (10, 249), (10, 250), (10, 905), (10, 994), (10, 895)],
+        ["k", "rt"],
+    )
+
+    def count(bin_us):
+        j = range_join_binned(left, right, "k", "t", "rt", W, bin_us=bin_us)
+        return {
+            r.event_id: r.n
+            for r in j.groupBy("event_id")
+            .agg(F.sum(F.when(F.col("_match"), 1).otherwise(0)).alias("n"))
+            .collect()
+        }
+
+    # event 1 window [150,250): {150, 249}; event 2 [895,995): {905, 994, 895}
+    expect = {1: 2, 2: 3}
+    assert count(100) == expect
+    assert count(30) == expect
+    assert count(7) == expect
