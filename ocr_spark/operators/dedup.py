@@ -876,11 +876,19 @@ def apply_span_surgery(
     clean text is fingerprinted (md5) so the row stays scalar-cell."""
     from pyspark.sql import Window
 
+    # DISTINCT is load-bearing, not cosmetic: the same (s, e) span
+    # reaches a doc once per partner it was copied from, and duplicate
+    # sort keys would make the two island windows below order their
+    # tied peers independently (the flag window and the prefix-sum
+    # window may disagree on which twin is "first", splitting one
+    # island into two — observed as a run-to-run flip in DuckDB's
+    # parallel window sort). Deduped, (s, e) is unique per doc and the
+    # window order is total.
     cut = spans.select(
         F.col("id_b").alias("doc_id"),
         F.col("b_start").alias("s"),
         F.col("b_end").alias("e"),
-    )
+    ).distinct()
     w = Window.partitionBy("doc_id").orderBy("s", "e")
     prevmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     merged = (

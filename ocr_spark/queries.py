@@ -2322,7 +2322,9 @@ FROM reach GROUP BY id
 # from the Spark side's span-fold stitcher, same value
 ORACLE_SQL["span_surgery"] = f"""
 WITH spans_q AS ({ORACLE_SQL["winnow_span_runs"]}),
-cut AS (SELECT id_b AS doc_id, b_start AS s, b_end AS e FROM spans_q),
+-- DISTINCT mirrors the Spark side: duplicate (s, e) sort keys would
+-- let the flag and prefix-sum windows order tied peers differently
+cut AS (SELECT DISTINCT id_b AS doc_id, b_start AS s, b_end AS e FROM spans_q),
 fl AS (
   SELECT *, CASE WHEN s > coalesce(max(e) OVER (
                    PARTITION BY doc_id ORDER BY s, e

@@ -197,3 +197,29 @@ def test_span_surgery_no_spans_is_identity(spark):
     assert out[1].n_spans_cut == 0 and out[2].n_spans_cut == 0
     assert out[1].clean_fp == hashlib.md5(b"hello world").hexdigest()
     assert out[2].clean_len == 0
+
+
+def test_span_surgery_duplicate_spans_from_two_partners(spark):
+    """A doc that copied the same passage present in TWO earlier docs
+    receives the identical (s, e) span twice — the dedup before the
+    island windows must collapse it to ONE cut (this exact shape made
+    the two-window islands construction order-sensitive and flaky
+    before the DISTINCT guard)."""
+    from ocr_spark.operators.dedup import apply_span_surgery, winnow_span_runs
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "first origin doc says " + passage + " and more"),
+        (2, "second origin doc says " + passage + " and other"),
+        (3, "late copier writes " + passage + " at the end here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = winnow_span_runs(docs, max_postings=6)
+    pair_bs = [
+        (r.id_a, r.id_b, r.b_start, r.b_end) for r in spans.collect() if r.id_b == 3
+    ]
+    out = {r.doc_id: r for r in apply_span_surgery(docs, spans).collect()}
+    # doc 3 got spans from both partners; identical ranges must merge
+    assert len(pair_bs) >= 2
+    assert out[3].n_spans_cut == 1
+    assert out[3].clean_len == len(rows[2][1]) - out[3].n_chars_removed
