@@ -12,6 +12,12 @@ compute the same result, column-name and value identical. Parity rules
 - **float folds** (dot products, norms): generated left-to-right
   expression chains, identical IEEE evaluation order in both engines;
 - **ranking**: every row_number has a unique-key tie-break;
+- **window ORDER BY must be total** (unique key per partition), not
+  just for ranking: a gaps-and-islands build computes its flag in one
+  window and its prefix-sum in another, and with duplicate sort keys
+  the two evaluations may order tied peers DIFFERENTLY (observed as a
+  run-to-run flip in DuckDB's parallel window sort) — dedupe rows or
+  add a tie-break column before windowing;
 - **timestamps**: emitted as strftime strings;
 - **rounding**: round(x, 6) only on values that are bit-identical
   across engines by construction (ties at the 7th decimal are not
