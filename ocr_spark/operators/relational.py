@@ -662,3 +662,49 @@ def rolling_user_value(
         .withColumn("n_in_window", F.count("c").over(w))
         .select("event_id", "user_id", "roll_cents", "n_in_window")
     )
+
+
+def funnel_conversion(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Funnel analysis: for each user's FIRST signup, did a purchase
+    land within ``window_days``, and how long did it take. The
+    first-signup pick is min(struct(ts_us, event_id)) — Spark struct
+    ordering is field-wise, identical to the oracle's
+    row_number(ORDER BY ts, event_id) = 1 — and all time arithmetic is
+    integer epoch-micros. One groupBy per stage + one equi-join on
+    user_id; nothing scans event pairs, so cost is linear in events
+    regardless of per-user history length."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_us = window_days * 86_400_000_000
+    sig = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", F.struct(us.alias("s_us"), "event_id").alias("k"))
+        .groupBy("user_id")
+        .agg(F.min("k").alias("k"))
+        .select(
+            "user_id",
+            F.col("k.event_id").alias("signup_event"),
+            F.col("k.s_us").alias("s_us"),
+        )
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    hit = F.when(
+        (F.col("p_us") > F.col("s_us")) & (F.col("p_us") <= F.col("s_us") + F.lit(w_us)),
+        F.col("p_us"),
+    )
+    return (
+        sig.join(pur, "user_id", "left")
+        .groupBy("user_id", "signup_event", "s_us")
+        .agg(F.min(hit).alias("c_us"))
+        .select(
+            "user_id",
+            "signup_event",
+            F.col("c_us").isNotNull().alias("converted"),
+            (F.col("c_us") - F.col("s_us")).cast("bigint").alias("micros_to_convert"),
+        )
+    )

@@ -488,6 +488,10 @@ def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rolling_user_value(spark, sf_dir)
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.funnel_conversion(spark, sf_dir)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: shared word-3-grams vs the held-out
     eval slice (doc_id % 41 == 0), map-only corpus pass."""
@@ -768,6 +772,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mixture_weights": q_source_mixture,
     "materialize_mixture": q_materialize_mixture,
     "rolling_user_value": q_rolling_user_value,
+    "funnel_conversion": q_funnel_conversion,
     "semantic_dedup": q_semantic_dedup,
     "span_surgery": q_span_surgery,
     "unigram_commonness": q_unigram_commonness,
@@ -2376,4 +2381,31 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN acct a USING (doc_id)
 LEFT JOIN clean cl ON cl.doc_id = d.doc_id AND a.doc_id IS NOT NULL
+"""
+
+# funnel: first signup picked by row_number over the same (ts,
+# event_id) total order Spark's min(struct) encodes; window arithmetic
+# in integer epoch-micros
+ORACLE_SQL["funnel_conversion"] = """
+WITH s AS (
+  SELECT user_id, event_id AS signup_event, epoch_us(ts) AS s_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'signup'
+),
+f AS (SELECT user_id, signup_event, s_us FROM s WHERE rn = 1),
+p AS (
+  SELECT user_id, epoch_us(ts) AS p_us FROM events
+  WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT f.user_id, f.signup_event, f.s_us,
+         min(CASE WHEN p.p_us > f.s_us AND p.p_us <= f.s_us + 604800000000
+                  THEN p.p_us END) AS c_us
+  FROM f LEFT JOIN p USING (user_id)
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, signup_event,
+       c_us IS NOT NULL AS converted,
+       CAST(c_us - s_us AS BIGINT) AS micros_to_convert
+FROM g
 """
