@@ -291,3 +291,15 @@ def test_rolling_user_value_single_shuffle(spark):
 
     df = rolling_user_value(spark, SF_DIR)
     assert count_exchanges(df) == 1
+
+
+def test_funnel_conversion_no_range_explosion(spark):
+    """The funnel must stay a keyed equi-join + two partial aggs — a
+    time-predicate join (signup×purchase pairs) would be quadratic
+    per user at scale."""
+    from ocr_spark.operators.relational import funnel_conversion
+
+    df = funnel_conversion(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
