@@ -605,3 +605,53 @@ def materialize_mixture(
         )
         .select(id_col, "source", "keep_rate", "is_kept")
     )
+
+
+def source_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_tf: int = 5,
+) -> DataFrame:
+    """Distinctive terms PER SOURCE by keyness — the relative-frequency
+    ratio (tf_s/N_s)/(tf_c/N_c) corpus linguists use to answer "what
+    does this source talk about that the rest of the corpus doesn't"
+    (complements ``tfidf_top_terms``, which is per-document salience).
+    Score = one IEEE division of two exact BIGINT cross-products
+    (tf_s·N_c and N_s·tf_c — both < 2^53 at any plausible vocab, so
+    the doubles are exact) — bit-identical cross-engine, rank ties
+    break on the term string. ``min_tf`` suppresses hapax noise.
+
+    Shuffles: one partial-agg on (source, term); the term-marginal and
+    source-marginal tables re-aggregate from it (vocab- and
+    source-sized) and broadcast back; the top-k window partitions by
+    source over the vocab-bounded scored table."""
+    toks = df.select("source", F.explode(tokens(F.col(text_col))).alias("term"))
+    tfs = toks.groupBy("source", "term").agg(F.count("*").alias("tf_s"))
+    tot_s = tfs.groupBy("source").agg(F.sum("tf_s").alias("n_s"))
+    tfc = tfs.groupBy("term").agg(F.sum("tf_s").alias("tf_c"))
+    n_c = tot_s.agg(F.sum("n_s").alias("n_c"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tfs.filter(F.col("tf_s") >= min_tf)
+        .join(F.broadcast(tfc), "term")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(n_c))
+        .withColumn(
+            "keyness", (F.col("tf_s") * F.col("n_c")) / (F.col("n_s") * F.col("tf_c"))
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("keyness"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "source",
+            "term",
+            "tf_s",
+            "tf_c",
+            F.round("keyness", 6).alias("keyness"),
+            "rn",
+        )
+    )

@@ -492,6 +492,12 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.funnel_conversion(spark, sf_dir)
 
 
+def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.corpus import source_top_terms
+
+    return source_top_terms(_docs(spark, sf_dir))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: shared word-3-grams vs the held-out
     eval slice (doc_id % 41 == 0), map-only corpus pass."""
@@ -773,6 +779,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "materialize_mixture": q_materialize_mixture,
     "rolling_user_value": q_rolling_user_value,
     "funnel_conversion": q_funnel_conversion,
+    "source_top_terms": q_source_top_terms,
     "semantic_dedup": q_semantic_dedup,
     "span_surgery": q_span_surgery,
     "unigram_commonness": q_unigram_commonness,
@@ -2408,4 +2415,33 @@ SELECT user_id, signup_event,
        c_us IS NOT NULL AS converted,
        CAST(c_us - s_us AS BIGINT) AS micros_to_convert
 FROM g
+"""
+
+# per-source keyness: exact BIGINT cross-products, ONE IEEE division
+ORACLE_SQL["source_top_terms"] = f"""
+WITH toks AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+tfs AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS tf_s
+  FROM toks GROUP BY 1, 2
+),
+tot_s AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_s FROM tfs GROUP BY 1),
+tfc AS (SELECT term, CAST(sum(tf_s) AS BIGINT) AS tf_c FROM tfs GROUP BY 1),
+nc AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_c FROM tot_s),
+scored AS (
+  SELECT tfs.source, tfs.term, tfs.tf_s, tfc.tf_c,
+         (tfs.tf_s * nc.n_c) / (tot_s.n_s * tfc.tf_c) AS keyness
+  FROM tfs
+  JOIN tfc USING (term)
+  JOIN tot_s USING (source)
+  CROSS JOIN nc
+  WHERE tfs.tf_s >= 5
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY source ORDER BY keyness DESC, term ASC
+  ) AS INTEGER) AS rn
+  FROM scored
+)
+SELECT source, term, tf_s, tf_c, round(keyness, 6) AS keyness, rn
+FROM r WHERE rn <= 5
 """
