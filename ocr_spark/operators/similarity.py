@@ -96,18 +96,22 @@ def cosine_topk(
     )
 
 
-def sign_bucket(col: str, bits: int = 8) -> Column:
-    """Axis-aligned sign-LSH bucket key: '+'/'-' per leading component."""
+def sign_bucket(col: str, bits: int = 8, offset: int = 0) -> Column:
+    """Axis-aligned sign-LSH bucket key: '+'/'-' per component in
+    ``[offset, offset + bits)`` — ``offset`` lets banded callers key
+    each hash table on a disjoint component slice."""
     chars = [
-        F.when(F.expr(f"CAST({col}[{i}] AS DOUBLE)") >= 0, F.lit("+")).otherwise(F.lit("-"))
+        F.when(F.expr(f"CAST({col}[{offset + i}] AS DOUBLE)") >= 0, F.lit("+")).otherwise(
+            F.lit("-")
+        )
         for i in range(bits)
     ]
     return F.concat(*chars)
 
 
-def sign_bucket_sql(col: str, bits: int = 8) -> str:
+def sign_bucket_sql(col: str, bits: int = 8, offset: int = 0) -> str:
     parts = " || ".join(
-        f"(CASE WHEN CAST({col}[{i + 1}] AS DOUBLE) >= 0 THEN '+' ELSE '-' END)"
+        f"(CASE WHEN CAST({col}[{offset + i + 1}] AS DOUBLE) >= 0 THEN '+' ELSE '-' END)"
         for i in range(bits)
     )
     return f"({parts})"
@@ -136,21 +140,65 @@ def cosine_neardup(
 
 
 def cosine_neardup_lsh(
-    emb: DataFrame, threshold: float = 0.4, bits: int = 8, dim: int = EMB_DIM
+    emb: DataFrame,
+    threshold: float = 0.4,
+    bits: int = 8,
+    n_bands: int = 8,
+    max_bucket: int = 256,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
-    """Sign-LSH near-dup: equi-join within sign buckets, then exact
-    cosine verify. Shuffle is O(N); pair work is per-bucket quadratic,
-    bounded by the bucket histogram (2^bits keys)."""
-    withb = emb.withColumn("bucket", sign_bucket("embedding", bits))
-    a = withb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "bucket"
+    """Banded sign-LSH near-dup pairs (id_a < id_b, sim ≥ t): candidate
+    generation via ``n_bands`` independent sign-hash tables, exact
+    cosine verification of candidates only.
+
+    Scale contract (the 100 TB guards):
+
+    - **Banding.** Band ``l`` keys on the sign pattern of components
+      ``[l*bits, (l+1)*bits)``. A pair is a candidate if ANY band
+      agrees — recall 1-(1-p^bits)^n_bands instead of the single-table
+      p^bits, the same OR-of-ANDs trade MinHash banding makes
+      (dedup.py). A single table at small ``bits`` is NOT a substitute:
+      it has 2^bits buckets TOTAL, so every bucket holds ~N/2^bits
+      vectors and the self-join is quadratic in corpus size.
+    - **Per-(band, bucket) ``max_bucket`` cap.** Buckets hotter than
+      the cap are dropped from the candidate join (recall traded for a
+      hard fan-out bound — the same guard as ``lsh_candidate_pairs``).
+      Worst-case pair work is thus ≤ n_bands × (N/max_bucket buckets) ×
+      C(max_bucket, 2) — linear in N — no matter how degenerate the
+      sign distribution is.
+    - **Payload-free pair shuffle.** Candidates are generated from
+      (vec_id, band, bucket) rows only; the dim-float vectors join back
+      for the verify, bounded by candidate volume.
+
+    ``bits × n_bands`` must fit in ``dim``. At production scale pick
+    bits ≈ log2(N / max_bucket) and spend remaining dims on bands.
+    """
+    if bits * n_bands > dim:
+        raise ValueError(
+            f"bits ({bits}) × n_bands ({n_bands}) exceeds dim ({dim}) — "
+            "bands must key on disjoint component slices"
+        )
+    buckets = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[sign_bucket("embedding", bits, l * bits) for l in range(n_bands)])
+        ).alias("band", "bucket"),
     )
-    b = withb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "bucket"
+    counts = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    small = counts.filter(F.col("n") <= max_bucket).select("band", "bucket")
+    bounded = buckets.join(small, ["band", "bucket"])
+    cand = (
+        bounded.alias("a")
+        .join(bounded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
     )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "sim",
             F.round(
@@ -161,6 +209,47 @@ def cosine_neardup_lsh(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def neardup_lsh_sql(
+    threshold: float = 0.4,
+    bits: int = 8,
+    n_bands: int = 8,
+    max_bucket: int = 256,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB twin of ``cosine_neardup_lsh`` — identical algorithm
+    (banding, cap, verify), identical fold order, 1-indexed lists."""
+    bands = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {l} AS band, "
+        f"{sign_bucket_sql('embedding', bits, l * bits)} AS bucket FROM embeddings"
+        for l in range(n_bands)
+    )
+    dot = dot_sql("ea.embedding", "eb.embedding", dim)
+    na = norm_sql("ea.embedding", dim)
+    nb = norm_sql("eb.embedding", dim)
+    return f"""
+WITH wb AS (
+  {bands}
+),
+ok AS (
+  SELECT band, bucket FROM wb GROUP BY band, bucket HAVING count(*) <= {max_bucket}
+),
+bounded AS (
+  SELECT wb.vec_id, wb.band, wb.bucket FROM wb JOIN ok USING (band, bucket)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bounded a JOIN bounded b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(({dot}) / (({na}) * ({nb})), 6) AS sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE round(({dot}) / (({na}) * ({nb})), 6) >= {threshold}
+"""
 
 
 def label_centroid_count(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:

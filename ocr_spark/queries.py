@@ -196,7 +196,13 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.cosine_neardup_lsh(_emb(spark, sf_dir), threshold=0.3, bits=4)
+    """Banded sign-LSH near-dup (8 bands × 8 bits over the 64 dims,
+    per-bucket cap 256): the embedding-space analogue of minhash_lsh —
+    capped fan-out, candidate-bounded verify. See cosine_neardup_lsh's
+    docstring for the 100 TB bound."""
+    return S.cosine_neardup_lsh(
+        _emb(spark, sf_dir), threshold=0.3, bits=8, n_bands=8, max_bucket=256
+    )
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,7 +478,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.dedup import duplicate_components
 
     emb = _emb(spark, sf_dir)
-    pairs = S.cosine_neardup_lsh(emb, threshold=0.3, bits=4)
+    pairs = S.cosine_neardup_lsh(emb, threshold=0.3, bits=8, n_bands=8, max_bucket=256)
     return duplicate_components(emb.select("vec_id"), pairs, id_col="vec_id")
 
 
@@ -1623,17 +1629,9 @@ FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
   AND round(({_DOT_AB}) / (({_NORM_A}) * ({_NORM_B})), 6) >= 0.4
 """,
-    "embedding_neardup_lsh": f"""
-WITH wb AS (
-  SELECT vec_id, embedding, {S.sign_bucket_sql("embedding", 4)} AS bucket
-  FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(({_DOT_AB}) / (({_NORM_A}) * ({_NORM_B})), 6) AS sim
-FROM wb a JOIN wb b USING (bucket)
-WHERE a.vec_id < b.vec_id
-  AND round(({_DOT_AB}) / (({_NORM_A}) * ({_NORM_B})), 6) >= 0.3
-""",
+    "embedding_neardup_lsh": S.neardup_lsh_sql(
+        threshold=0.3, bits=8, n_bands=8, max_bucket=256
+    ),
     # seeded IVF: identical algorithm both engines (cell = argmin over
     # the first-16-vector centroids, same fold order). The driver
     # surface 'ivf_topk' is the same quantizer at probe width 6 (the

@@ -49,8 +49,78 @@ def test_sign_lsh_is_subset_of_exact(spark):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in cosine_neardup_lsh(emb, threshold=0.3, bits=4).collect()
+        for r in cosine_neardup_lsh(
+            emb, threshold=0.3, bits=8, n_bands=8, max_bucket=256
+        ).collect()
     }
     assert lsh <= exact  # verification step guarantees no false positives
     if exact:
         print("sign-lsh recall:", len(lsh) / len(exact))
+
+
+def _const_vectors(spark, n, dim=8, flip_last=0):
+    """n vectors identical in every component (one sign bucket per
+    band); the last ``flip_last`` get a sign-flipped tail component."""
+    rows = []
+    for i in range(n):
+        v = [1.0] * dim
+        if i >= n - flip_last:
+            v[-1] = -1.0
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_sign_lsh_bucket_cap_bounds_hot_buckets(spark):
+    """A bucket hotter than max_bucket is dropped from the candidate
+    join in EVERY band (hard fan-out bound); a generous cap keeps all
+    C(n,2) exact-duplicate pairs."""
+    emb = _const_vectors(spark, 6, dim=8)
+    capped = cosine_neardup_lsh(
+        emb, threshold=0.9, bits=2, n_bands=4, max_bucket=5, dim=8
+    )
+    assert capped.count() == 0  # all 6 share every band's bucket, 6 > 5
+    uncapped = cosine_neardup_lsh(
+        emb, threshold=0.9, bits=2, n_bands=4, max_bucket=100, dim=8
+    )
+    assert uncapped.count() == 15  # C(6,2)
+
+
+def test_sign_lsh_banding_recovers_capped_band(spark):
+    """Banding is an OR over tables: a pair whose band-0 bucket is
+    capped away still surfaces through a band whose bucket stays under
+    the cap — the recall mechanism that single-table LSH lacks."""
+    # 8 vectors share band 0 (components 0-1 all positive) → capped;
+    # the last 2 flip component 7, so band 3 (components 6-7) holds
+    # exactly those 2 → under cap → their pair survives.
+    emb = _const_vectors(spark, 8, dim=8, flip_last=2)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_lsh(
+            emb, threshold=0.5, bits=2, n_bands=4, max_bucket=5, dim=8
+        ).collect()
+    }
+    assert pairs == {(6, 7)}
+
+
+def test_sign_lsh_planted_duplicate_found(spark):
+    """An exact duplicate vector shares every band's bucket — it MUST
+    surface as a sim=1.0 pair (recall floor on true near-dups)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dup = emb.filter("vec_id = 0").selectExpr(
+        "CAST(900001 AS BIGINT) AS vec_id", "embedding", "label"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_neardup_lsh(
+            emb.unionByName(dup), threshold=0.9, bits=8, n_bands=8, max_bucket=256
+        ).collect()
+    }
+    assert pairs.get((0, 900001)) == 1.0
+
+
+def test_sign_lsh_rejects_band_overflow(spark):
+    emb = _const_vectors(spark, 2, dim=8)
+    import pytest
+
+    with pytest.raises(ValueError, match="bands"):
+        cosine_neardup_lsh(emb, bits=8, n_bands=8, dim=8)
