@@ -698,11 +698,30 @@ def keep_best_representative(
     themselves (a pathological mega-cluster is exactly what the LSH
     ``max_bucket`` cap upstream prevents).
 
-    Output: (id, component, score, is_best) for EVERY doc —
-    downstream keeps ``is_best`` rows and drops the rest."""
+    Output: (id, component, score, is_best) for EVERY doc in
+    ``comps`` — downstream keeps ``is_best`` rows and drops the rest.
+    The join is a LEFT join from comps with a row-level assert on the
+    score: a doc missing from ``scored`` fails the job loudly instead
+    of silently vanishing from the corpus (the contract is one row per
+    comps doc, and an unscored doc has no defensible rank)."""
     from pyspark.sql import Window
 
-    j = comps.select(id_col, "component").join(scored, id_col)
+    # the guard lives INSIDE the score column (which the window sort
+    # consumes) — a guard parked in a dropped side-column would be
+    # pruned out of the plan by Catalyst and never fire
+    guarded = F.when(F.col(score_col).isNotNull(), F.col(score_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("keep_best_representative: no score for "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    j = (
+        comps.select(id_col, "component")
+        .join(scored, id_col, "left")
+        .withColumn(score_col, guarded)
+    )
     w = Window.partitionBy("component").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )

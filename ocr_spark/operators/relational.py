@@ -522,8 +522,17 @@ def salted_equijoin(
 
     The ``shuffle_hash`` hint keeps the demo on the shuffle-join path
     (a dim this small would otherwise auto-broadcast, which is the
-    right plan when it fits — salting is for when it doesn't)."""
-    f = fact.withColumn("_salt", (F.col(spread_col) % n_salts).cast("int"))
+    right plan when it fits — salting is for when it doesn't).
+
+    ``spread_col`` may be negative or NULL: the salt is ``pmod`` (so
+    negatives land in [0, n_salts) instead of the never-matching
+    negative range Spark's sign-preserving ``%`` would produce) and
+    NULLs coalesce to salt 0 — every fact row keeps exactly one valid
+    salt, so no row is silently dropped by the salt equi-key."""
+    f = fact.withColumn(
+        "_salt",
+        F.coalesce(F.pmod(F.col(spread_col), F.lit(n_salts)), F.lit(0)).cast("int"),
+    )
     d = dim.withColumnRenamed(dim_key, fact_key).withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)]))
     )

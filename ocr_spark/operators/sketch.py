@@ -66,6 +66,27 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_MAXRANK)
 
 
+def hll_consts(p: int) -> tuple[int, int, float]:
+    """(m, maxrank, numerator) for register-count exponent ``p`` —
+    the standard Flajolet alpha table for small m, the asymptotic
+    formula above it. Bounds: p >= 4 (alpha undefined below), and
+    p <= 26 so the scaled harmonic sum m * 2^maxrank = 2^33 stays
+    far under 2^63 on both engines."""
+    if not 4 <= p <= 26:
+        raise ValueError(f"p ({p}) out of range [4, 26]")
+    m = 1 << p
+    if p == 4:
+        alpha = 0.673
+    elif p == 5:
+        alpha = 0.697
+    elif p == 6:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    maxr = 32 - p + 1
+    return m, maxr, alpha * m * m * float(1 << maxr)
+
+
 def _hll_h32(key_str_col) -> "F.Column":
     """32-bit hash: first 8 hex chars of a salted md5 (always >= 0)."""
     return F.conv(
@@ -80,9 +101,14 @@ def hll_registers(
     state. Merging two sketches = unioning register tables and taking
     max(mr) per (grp, idx), which is exactly what the partial/final
     HashAggregate pair of the groupBy below already does across
-    partitions."""
-    m = 1 << p
-    maxr = 32 - p + 1
+    partitions.
+
+    NULL keys are filtered before hashing: a NULL contributes no
+    distinct value, and md5(NULL) would otherwise mint a phantom
+    NULL-idx register row that inflates registers_used without adding
+    to the harmonic sum."""
+    m, maxr, _ = hll_consts(p)
+    df = df.filter(F.col(key_col).isNotNull())
     h32 = _hll_h32(F.col(key_col).cast("string"))
     w = F.shiftright(h32, p)  # (32-p)-bit pattern field
     rank = F.when(w == 0, F.lit(maxr)).otherwise(
@@ -121,13 +147,13 @@ def hll_distinct(
     ``include_exact=True`` joins an exact countDistinct for side-by-
     side error reporting (rel_err_bp = basis points) — drop it at
     scale; the sketch path alone never shuffles more than groups*m
-    rows per partition."""
-    if p != HLL_P:
-        raise ValueError(
-            f"p ({p}) != {HLL_P}: the scaled-integer harmonic sum and the "
-            f"shared oracle constant are derived for p={HLL_P}"
-        )
-    m, maxr = HLL_M, HLL_MAXRANK
+    rows per partition.
+
+    All constants (m, maxrank, alpha numerator) derive from ``p`` via
+    ``hll_consts`` — any p in [4, 26] works; the shipped DuckDB oracle
+    interpolates the p=8 constants, so non-default precisions are
+    pytest-gated (merge-property + error-bound tests), not hash-gated."""
+    m, maxr, numerator = hll_consts(p)
     regs = hll_registers(df, key_col, group_col, p)
     agg = regs.groupBy("grp").agg(
         F.count("*").alias("registers_used"),
@@ -143,7 +169,7 @@ def hll_distinct(
         ).alias("s_scaled"),
     ).withColumn(
         "est_distinct",
-        F.floor(F.lit(HLL_NUMERATOR) / F.col("s_scaled")).cast("long"),
+        F.floor(F.lit(numerator) / F.col("s_scaled")).cast("long"),
     )
     if not include_exact:
         return sketch.withColumnRenamed("grp", group_col)

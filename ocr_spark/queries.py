@@ -1995,7 +1995,7 @@ def _hll_sql() -> str:
 WITH h AS (
   SELECT l_returnflag AS grp,
     ('0x' || substr(md5('hll|' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h32
-  FROM lineitem
+  FROM lineitem WHERE l_orderkey IS NOT NULL
 ),
 r AS (
   SELECT grp, h32 % {m} AS idx,

@@ -96,3 +96,24 @@ def test_snapshot_diff_identical_snapshots(spark):
     for r in snapshot_diff(docs, docs).collect():
         assert r["n_added"] == r["n_removed"] == r["n_changed"] == 0
         assert r["n_unchanged"] > 0
+
+
+def test_salted_join_null_and_negative_spread_rows_survive(spark):
+    """NULL and negative spread values must not drop fact rows: the
+    salt is pmod (negatives land in [0, n_salts)) with NULL→0 — the
+    ADVICE-flagged failure was Spark's sign-preserving % minting
+    salts the dim side never carries."""
+    fact = spark.createDataFrame(
+        [(1, -7), (1, -1), (1, None), (2, 5), (2, None)],
+        "k int, spread int",
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "dk int, v string")
+    out = salted_equijoin(fact, dim, "k", "dk", "spread", n_salts=8)
+    assert out.count() == 5  # every fact row met its dim row exactly once
+    salts = {
+        r[0]
+        for r in fact.selectExpr(
+            "coalesce(pmod(spread, 8), 0) AS s"
+        ).distinct().collect()
+    }
+    assert all(0 <= s < 8 for s in salts)

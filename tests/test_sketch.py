@@ -175,3 +175,55 @@ def test_bloom_word_table_is_sparse_and_bounded(spark):
     row = bloom_build(orders, "o_orderkey").collect()[0]
     assert 0 < len(row.bloom) <= 65536 // 32
     assert all(v != 0 for v in row.bloom.values())
+
+
+def test_hll_null_keys_do_not_mint_registers(spark):
+    """NULL keys are filtered before hashing: the sketch over a column
+    with NULLs equals the sketch over the same column with the NULL
+    rows removed (no phantom register, no zero_registers skew)."""
+    from ocr_spark.operators.sketch import hll_distinct
+
+    base = [("g", i) for i in range(200)]
+    with_nulls = base + [("g", None)] * 7
+    a = hll_distinct(
+        spark.createDataFrame(with_nulls, "grp string, k int"), "k", "grp"
+    ).collect()[0]
+    b = hll_distinct(
+        spark.createDataFrame(base, "grp string, k int"), "k", "grp"
+    ).collect()[0]
+    assert a == b
+
+
+def test_hll_nondefault_precision_works_and_bounds_error(spark):
+    """p is a real parameter now: constants derive from p, and the
+    estimate at p=12 (4096 registers) lands within the raw-regime
+    error bound for a large distinct count."""
+    import pytest
+
+    from ocr_spark.operators.sketch import hll_consts, hll_distinct
+
+    rows = [("g", i) for i in range(20000)]
+    df = spark.createDataFrame(rows, "grp string, k int")
+    out = hll_distinct(df, "k", "grp", p=12).collect()[0]
+    # standard error 1.04/sqrt(4096) ~ 1.6%; allow 5 sigma
+    assert abs(out["est_distinct"] - 20000) / 20000 < 0.082, out["est_distinct"]
+    with pytest.raises(ValueError, match="out of range"):
+        hll_consts(3)
+    with pytest.raises(ValueError, match="out of range"):
+        hll_consts(27)
+
+
+def test_keep_best_raises_on_unscored_doc(spark):
+    """A comps doc missing from scored fails the job loudly instead of
+    silently vanishing (quiet-corpus-loss guard)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from ocr_spark.operators.dedup import keep_best_representative
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id int, component int"
+    )
+    scored = spark.createDataFrame([(1, 0.9), (2, 0.5)], "doc_id int, quality double")
+    with pytest.raises((Py4JJavaError, Exception), match="no score for 3"):
+        keep_best_representative(scored, comps).collect()
