@@ -532,56 +532,82 @@ def duplicate_components(
 
     A corpus dedup pipeline needs clusters, not pairs — "keep one doc
     per duplicate set" is a per-component decision (the keeper here is
-    the min id, same rule as ``dedup_exact``). Iterative min-label
-    propagation: each round joins labels across edges and takes the
-    per-node min; rounds needed = graph diameter, and LSH near-dup
-    components are clique-dense (diameter 2-3 in practice).  Each round
-    is one shuffle on id; ``localCheckpoint`` truncates the growing
-    lineage so round N's plan doesn't replay rounds 1..N-1.  At larger
-    diameters the public large-star/small-star formulation (Kiveris et
-    al., "Connected Components in MapReduce", 2014) halves round count;
-    this direct propagation is the readable baseline and converges with
-    a driver-side changed-row check.
+    the min id, same rule as ``dedup_exact``). The engine is the
+    alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014): both steps
+    hook every node to the minimum of its closed neighborhood, so the
+    edge set converges to stars centered on each component's min id in
+    O(log²) rounds WORST CASE — independent of graph diameter, unlike
+    plain min-label propagation whose round count IS the diameter (a
+    chain of passage-copies, doc A→B→C→…, is exactly the adversarial
+    input; see tests). Per round: two groupBy-min shuffles + two
+    equi-joins, all on id-sized rows; ``localCheckpoint`` truncates
+    lineage so round N's plan doesn't replay rounds 1..N-1; the
+    driver-side convergence probe is limit(1)-bounded (the standard
+    iterative-CC control loop, not a data collect).
 
     Output: (doc_id, component, is_keeper) for EVERY input doc —
     singletons label themselves.
     """
     nodes = df.select(F.col(id_col).alias("id"))
+    # canonical undirected edges (big, small), self-loops dropped
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint(eager=True)  # pairs plan (LSH) computed once
     )
-    labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
-    for _ in range(max_iters):
-        neighbor = edges.join(
-            labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "comp")
-        new_labels = (
-            labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        """Γ(u) over BOTH orientations; m = min(Γ(u) ∪ {u}); emit
+        (v, m) for the strictly-larger neighbors v > u."""
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = mins.select("u", F.least("u", "mn").alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
         )
-        labels = new_labels
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        """Edges oriented small→big key (u = max endpoint, Γ(u) ≤ u);
+        m = min(Γ(u)); hook u and every neighbor except m to m."""
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = e.join(mins, "u").filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edges = mins.select("u", F.col("m").alias("v"))
+        return nbrs.union(self_edges).filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iters):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
         if changed == 0:
             break
     else:
         # fail loudly: silently-partial labels would diverge from the
-        # oracle's exact transitive closure on long chains
+        # oracle's exact transitive closure
         raise RuntimeError(
             f"duplicate_components did not converge within {max_iters} "
-            f"rounds — pair-graph diameter exceeds the bound; raise "
-            f"max_iters or switch to the large-star/small-star variant"
+            f"alternating large-star/small-star rounds — raise max_iters"
         )
-    return labels.select(
-        F.col("id").alias(id_col),
-        F.col("comp").alias("component"),
-        (F.col("id") == F.col("comp")).alias("is_keeper"),
+    # converged edge set is a star forest: (node, component-min)
+    stars = edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    return (
+        nodes.join(stars, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("comp", "id").alias("component"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("component"))
     )
 
 

@@ -454,3 +454,27 @@ def test_range_join_binned_narrow_bins(spark):
     assert count(100) == expect
     assert count(30) == expect
     assert count(7) == expect
+
+
+def test_duplicate_components_chain_converges_in_log_rounds(spark):
+    """The large-star/small-star engine is diameter-independent: a
+    64-node chain (diameter 63 — worst case for plain min-label
+    propagation, which needs 63 rounds) must resolve to one component
+    within O(log n) alternating rounds."""
+    import pytest
+
+    from ocr_spark.operators.dedup import duplicate_components
+
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_components(docs, chain, max_iters=8).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # and the bound is real: plain propagation could not do this in 8
+    with pytest.raises(RuntimeError, match="converge"):
+        duplicate_components(docs, chain, max_iters=1).collect()
