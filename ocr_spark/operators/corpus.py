@@ -235,7 +235,9 @@ def cross_source_overlap(
     nearly every source carry no dup signal and would dominate the
     join fan-out — the identical skew guard as LSH's ``max_bucket``),
     then a per-shingle self-join grouped to the #sources²-sized matrix.
-    Per-shingle fan-out is hard-capped at C(max_sources, 2).
+    Per-shingle fan-out is hard-capped at C(max_sources, 2); the
+    discard is quantified by ``cap_drop_stats`` (surfaced as the
+    ``cap_drop_accounting`` driver query), not silent.
 
     Output (source_a, source_b, n_shared_shingles)."""
     from pyspark.sql.window import Window
@@ -263,6 +265,34 @@ def cross_source_overlap(
             F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def cap_drop_stats(
+    postings: DataFrame, key_col: str, cap: int, name: str
+) -> DataFrame:
+    """Drop accounting for a posting-cap skew guard: ONE summary row
+    quantifying exactly what a ``count(key) <= cap`` filter discards —
+    the caps themselves (winnow_overlap_pairs' ``max_postings``,
+    cross_source_overlap's ``max_sources``, LSH ``max_bucket``) trade
+    recall for a hard join-fan-out bound, and a user sizing that trade
+    at THEIR corpus scale needs the discard quantified, not silent.
+
+    Output (cap_name, cap_value, n_keys, n_keys_dropped, n_postings,
+    n_postings_dropped). One groupBy + one all-to-one aggregate over
+    key-sized rows — strictly cheaper than the capped operator it
+    audits, so it can run alongside every production invocation."""
+    counts = postings.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+    dropped = F.col("c") > cap
+    return counts.agg(
+        F.lit(name).alias("cap_name"),
+        F.lit(cap).cast("int").alias("cap_value"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(dropped.cast("int")).cast("long").alias("n_keys_dropped"),
+        F.sum("c").cast("long").alias("n_postings"),
+        F.sum(F.when(dropped, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_postings_dropped"),
     )
 
 

@@ -495,6 +495,10 @@ def winnow_overlap_pairs(
     fingerprints: a fingerprint appearing in many docs is vocabulary,
     not copying, and would blow the inverted-index join up
     quadratically — the same skew-cap shape as LSH's max_bucket.
+    What the cap discards is quantified (not silent):
+    ``corpus.cap_drop_stats`` over the same fps postings — surfaced as
+    the ``cap_drop_accounting`` driver query — reports keys/postings
+    dropped at the corpus's actual scale.
     Shuffles: fingerprint explode → two groupBys + one equi-join, all
     bounded by the posting cap. The fingerprint stream is consumed
     three times (posting counts, both join sides) — materialized once

@@ -504,6 +504,27 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_top_terms(_docs(spark, sf_dir))
 
 
+def q_cap_drop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emitted drop accounting for the repo's two silent posting caps
+    (winnow_overlap_pairs max_postings=4, cross_source_overlap
+    max_sources=10): one summary row per cap quantifying the keys and
+    postings the guard discards at this corpus scale — the audit a
+    user runs before trusting a capped operator's recall."""
+    from ocr_spark.functions.text import word_shingles
+    from ocr_spark.operators.corpus import cap_drop_stats
+    from ocr_spark.operators.dedup import winnow_docs
+
+    docs = _docs(spark, sf_dir)
+    wfp = winnow_docs(docs).select("doc_id", F.explode("fps").alias("fp"))
+    w_stats = cap_drop_stats(wfp, "fp", 4, "winnow_max_postings")
+    sh = docs.select(
+        F.col("source").alias("src"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("s"),
+    ).distinct()
+    s_stats = cap_drop_stats(sh, "s", 10, "cross_source_max_sources")
+    return w_stats.unionByName(s_stats)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: shared word-3-grams vs the held-out
     eval slice (doc_id % 41 == 0), map-only corpus pass."""
@@ -786,6 +807,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_user_value": q_rolling_user_value,
     "funnel_conversion": q_funnel_conversion,
     "source_top_terms": q_source_top_terms,
+    "cap_drop_accounting": q_cap_drop_accounting,
     "semantic_dedup": q_semantic_dedup,
     "span_surgery": q_span_surgery,
     "unigram_commonness": q_unigram_commonness,
@@ -1873,6 +1895,45 @@ SELECT a.src AS source_a, b2.src AS source_b,
        count(*) AS n_shared_shingles
 FROM b a JOIN b b2 USING (s)
 WHERE a.src < b2.src GROUP BY 1, 2
+""",
+    # same winnowing-fps CTE as winnow_overlap and the same shingle
+    # postings CTE as cross_source_overlap, collapsed to the per-cap
+    # drop summaries (integer counts — exact on both engines)
+    "cap_drop_accounting": f"""
+WITH grams AS (
+  SELECT doc_id,
+         CAST(unnest(range(1, greatest(length(text) - 6, 1))) AS INTEGER) AS i,
+         md5(substr(text, CAST(unnest(range(1, greatest(length(text) - 6, 1))) AS INTEGER), 8)) AS h
+  FROM documents
+),
+minima AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         max(i) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id AS id, wmin AS fp FROM minima WHERE i <= n - 3),
+wc AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+toks AS (SELECT source, {_TOKS} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT source AS src, unnest(list_distinct(list_transform(
+    range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+  FROM toks
+),
+sc AS (SELECT s, count(*) AS c FROM sh GROUP BY s)
+SELECT 'winnow_max_postings' AS cap_name, 4 AS cap_value,
+  count(*) AS n_keys,
+  CAST(sum(CASE WHEN c > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_dropped,
+  CAST(sum(c) AS BIGINT) AS n_postings,
+  CAST(sum(CASE WHEN c > 4 THEN c ELSE 0 END) AS BIGINT) AS n_postings_dropped
+FROM wc
+UNION ALL
+SELECT 'cross_source_max_sources', 10, count(*),
+  CAST(sum(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(sum(c) AS BIGINT),
+  CAST(sum(CASE WHEN c > 10 THEN c ELSE 0 END) AS BIGINT)
+FROM sc
 """,
     "quantize_embeddings": S.quantize_sql(),
     # CCNet-style boilerplate removal: non-overlapping 4-token
