@@ -296,6 +296,78 @@ def cap_drop_stats(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int = 20,
+    weight_col: str = "weight",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    max_weight: int = 16,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per
+    group (Efraimidis & Spirakis 2006, A-ES): rank items by a key
+    whose distribution is u^(1/w) and keep the top k — each item's
+    inclusion probability is proportional to its weight.
+
+    Transcendental-free determinism: for INTEGER weights the A-ES key
+    u^(1/w) is equal in distribution to the MAX of w independent
+    uniforms (CDF x^w both ways), so the key here is
+    ``max_{i=1..w} md5int(id|i)`` — pure md5 + integer compare, no
+    pow/ln whose 1-ulp libm differences could flip ranks between
+    engines. Weights clamp to [1, max_weight]; the key loop is O(w)
+    md5 calls inside one map-side projection.
+
+    Scale shape: the only wide operation is the per-group top-k
+    window — one shuffle on ``group_col`` followed by Spark's
+    external (spill-safe) sort; sampling keys are uniform by
+    construction, so there is no key-space skew, and group skew is
+    absorbed by the sort's spilling rather than any collect. This is
+    the coordination-free mixture-sampling primitive: at any corpus
+    scale each row computes its own key from its id alone, so the
+    sample is reproducible and append-stable (new rows never perturb
+    existing keys — only the top-k cut line moves).
+
+    Output (id_col, group_col, weight, sample_rank), sample_rank in
+    [1, k] by descending key (ties break on id)."""
+    from pyspark.sql import Window
+
+    w_clamped = F.greatest(
+        F.lit(1), F.least(F.col(weight_col).cast("int"), F.lit(max_weight))
+    )
+    key = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w_clamped),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("wrs|"),
+                            F.col(id_col).cast("string"),
+                            F.lit("|"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+    )
+    keyed = df.select(
+        id_col, group_col, w_clamped.alias("weight"), key.alias("_key")
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .select(id_col, group_col, "weight", "sample_rank")
+    )
+
+
 def boilerplate_scrub(
     df: DataFrame,
     text_col: str = "text",

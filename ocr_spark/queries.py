@@ -504,6 +504,19 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_top_terms(_docs(spark, sf_dir))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 20 docs per source,
+    inclusion probability ∝ a length-derived integer weight — the
+    deterministic mixture-sampling primitive (see corpus.weighted_sample
+    for the transcendental-free A-ES construction)."""
+    from ocr_spark.operators.corpus import weighted_sample
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "weight", (F.lit(1) + F.floor(F.length("text") / 512)).cast("int")
+    )
+    return weighted_sample(docs, k=20)
+
+
 def q_cap_drop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emitted drop accounting for the repo's two silent posting caps
     (winnow_overlap_pairs max_postings=4, cross_source_overlap
@@ -808,6 +821,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "source_top_terms": q_source_top_terms,
     "cap_drop_accounting": q_cap_drop_accounting,
+    "weighted_sample": q_weighted_sample,
     "semantic_dedup": q_semantic_dedup,
     "span_surgery": q_span_surgery,
     "unigram_commonness": q_unigram_commonness,
@@ -1895,6 +1909,28 @@ SELECT a.src AS source_a, b2.src AS source_b,
        count(*) AS n_shared_shingles
 FROM b a JOIN b b2 USING (s)
 WHERE a.src < b2.src GROUP BY 1, 2
+""",
+    # A-ES weighted sampling via the max-of-w-uniforms identity: pure
+    # md5 + integer compares, so ranks are exact on both engines
+    "weighted_sample": """
+WITH wts AS (
+  SELECT doc_id, source,
+    greatest(1, least(CAST(1 + floor(length(text) / 512) AS INT), 16)) AS weight
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, weight,
+    list_max(list_transform(range(1, weight + 1),
+      i -> ('0x' || substr(md5('wrs|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT)) AS k
+  FROM wts
+),
+r AS (
+  SELECT doc_id, source, weight,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id ASC) AS INT)
+      AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, source, weight, sample_rank FROM r WHERE sample_rank <= 20
 """,
     # same winnowing-fps CTE as winnow_overlap and the same shingle
     # postings CTE as cross_source_overlap, collapsed to the per-cap

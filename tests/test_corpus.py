@@ -297,3 +297,25 @@ def test_materialize_mixture_flattens_and_is_total(spark):
     assert rate_by_source[biggest] == min(rate_by_source.values())
     again = {(r.doc_id, r.is_kept) for r in materialize_mixture(docs).collect()}
     assert again == {(r.doc_id, r.is_kept) for r in rows}
+
+
+def test_weighted_sample_bias_determinism_and_small_groups(spark):
+    """A-ES via max-of-w-uniforms: (a) deterministic across calls,
+    (b) heavier items are strongly overrepresented at the cut,
+    (c) a group smaller than k returns whole and fully ranked."""
+    from ocr_spark.operators.corpus import weighted_sample
+
+    rows = [(i, "g", 8 if i < 200 else 1) for i in range(400)]
+    rows += [(1000 + i, "tiny", 3) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, weight int")
+    s1 = weighted_sample(df, k=100)
+    s2 = weighted_sample(df, k=100)
+    a = sorted(map(tuple, s1.collect()))
+    assert a == sorted(map(tuple, s2.collect()))
+    g = [r for r in a if r[1] == "g"]
+    heavy = sum(1 for r in g if r[2] == 8)
+    # E[heavy share] ~ w/(w+1) pattern; 8x weight should dominate:
+    # binomial tail makes < 60/100 vanishingly unlikely
+    assert len(g) == 100 and heavy >= 60, heavy
+    tiny = [r for r in a if r[1] == "tiny"]
+    assert sorted(r[3] for r in tiny) == [1, 2, 3, 4, 5]

@@ -303,3 +303,20 @@ def test_funnel_conversion_no_range_explosion(spark):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_banded_sign_lsh_no_cartesian_and_capped(spark):
+    """The embedding LSH candidate stage must stay an equi-join on
+    (band, bucket) with the count cap applied — never a cartesian /
+    broadcast-nested-loop degeneration (the r3 verdict's one flagged
+    quadratic plan)."""
+    from ocr_spark.operators.similarity import cosine_neardup_lsh
+    from ocr_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = cosine_neardup_lsh(emb, threshold=0.3, bits=8, n_bands=8, max_bucket=256)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the cap filter is present in the plan (count <= max_bucket)
+    assert "256" in plan
