@@ -168,6 +168,38 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def canonical_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Case/punctuation-insensitive duplicate detection: docs collapse
+    to a CANONICAL fingerprint — lowercase, every non-alphanumeric run
+    folded to one space, trimmed — before hashing, so trivially-edited
+    copies ("Hello, World!" vs "hello world") that exact-md5 dedup
+    misses and shingle methods only score fractionally land in the
+    same group. The standard first escalation between exact and
+    near-dup dedup in a cleaning cascade.
+
+    One regex per row (map-only; the class ``[^a-z0-9]+`` sits in the
+    Java∩RE2∩DuckDB-common subset) + one fp-keyed window — shuffle
+    carries (id, 32-hex) rows only, same cost as ``dedup_exact``.
+
+    Output (id_col, canon_fp, n_variants, is_keeper) for EVERY doc:
+    keeper = min id per group, like every dedup keeper rule here."""
+    from pyspark.sql import Window
+
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    keyed = df.select(F.col(id_col), F.md5(canon).alias("canon_fp"))
+    w = Window.partitionBy("canon_fp")
+    return keyed.select(
+        id_col,
+        "canon_fp",
+        F.count(F.lit(1)).over(w).alias("n_variants"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_keeper"),
+    )
+
+
 def exploded_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

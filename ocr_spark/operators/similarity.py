@@ -252,6 +252,94 @@ WHERE round(({dot}) / (({na}) * ({nb})), 6) >= {threshold}
 """
 
 
+def semantic_decontaminate(
+    emb: DataFrame,
+    n_eval: int = 20,
+    threshold: float = 0.4,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus vectors
+    whose max cosine to ANY held-out eval vector reaches ``threshold``
+    — the semantic complement of the n-gram `decontaminate` operator
+    (paraphrased eval leakage carries no shingle overlap; this is the
+    practice behind e.g. the Phi/Llama-3 embedding-decontamination
+    passes, public reports).
+
+    Scale shape: the eval set is the SMALL side (thousands of rows at
+    most) and is broadcast; the corpus is scanned once with a
+    broadcast-NL join — no shuffle of the big side, same plan as
+    ``cosine_topk``. The per-row reduction (max over rounded sims) is
+    fold-order-free, so results are partition-layout independent.
+
+    Output (vec_id, max_eval_sim, contaminated) for every corpus
+    (non-eval) vector."""
+    evals = emb.filter(F.col("vec_id") < n_eval).select(
+        F.col("vec_id").alias("e_id"), F.col("embedding").alias("e_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= n_eval)
+    scored = corpus.crossJoin(F.broadcast(evals)).withColumn(
+        "sim",
+        F.round(
+            dot_expr("e_emb", "embedding", dim)
+            / (norm_expr("e_emb", dim) * norm_expr("embedding", dim)),
+            6,
+        ),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max("sim").alias("max_eval_sim"),
+        (F.max("sim") >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def knn_label_propagation(
+    emb: DataFrame,
+    n_queries: int = 30,
+    k: int = 5,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """kNN label propagation (auto-labeling): treat the first
+    ``n_queries`` vectors as unlabeled and predict each one's label by
+    majority vote among its ``k`` nearest labeled neighbors (cosine) —
+    the distributed form of the classifier used to transfer quality /
+    topic / safety labels from a small annotated pool onto a corpus.
+
+    Deterministic end to end: sims round to 6 before ranking, neighbor
+    ties break on vec_id, vote ties break on the smaller label. Scale
+    shape: queries broadcast against one corpus scan (broadcast-NL,
+    no big-side shuffle); the vote is a (query × k)-sized groupBy.
+    With a larger query side, swap the candidate stage for the IVF
+    cell join (``ivf_topk_seeded``) — the vote logic is unchanged.
+
+    Output (vec_id, predicted_label, votes)."""
+    from pyspark.sql import Window
+
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    labeled = emb.filter(F.col("vec_id") >= n_queries)
+    scored = labeled.crossJoin(F.broadcast(queries)).withColumn(
+        "sim",
+        F.round(
+            dot_expr("q_emb", "embedding", dim)
+            / (norm_expr("q_emb", dim) * norm_expr("embedding", dim)),
+            6,
+        ),
+    )
+    w_nn = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    nn = scored.withColumn("rk", F.row_number().over(w_nn)).filter(F.col("rk") <= k)
+    votes = nn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    w_v = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("pr", F.row_number().over(w_v))
+        .filter(F.col("pr") == 1)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("label").alias("predicted_label"),
+            "votes",
+        )
+    )
+
+
 def label_centroid_count(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     """Per-label vector counts + exact (decimal-summed) centroid of the
     first component — demonstrates order-independent float aggregation:

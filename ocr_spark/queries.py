@@ -225,6 +225,28 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroid_count(_emb(spark, sf_dir))
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination: max cosine of every
+    corpus vector against the broadcast eval pool (first 20 vec_ids),
+    flagged at 0.4 — the semantic twin of `decontaminate_docs`."""
+    return S.semantic_decontaminate(_emb(spark, sf_dir), n_eval=20, threshold=0.4)
+
+
+def q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-labeling: majority label among the 5 nearest labeled
+    neighbors for each of the first 30 vectors (ties → smaller
+    label)."""
+    return S.knn_label_propagation(_emb(spark, sf_dir), n_queries=30, k=5)
+
+
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case/punct-insensitive duplicate groups — the escalation step
+    between exact-md5 and shingle near-dup in a cleaning cascade."""
+    from ocr_spark.operators.dedup import canonical_dedup
+
+    return canonical_dedup(_docs(spark, sf_dir))
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = to_media_table(_docs(spark, sf_dir))
     return media.select(
@@ -822,6 +844,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_top_terms": q_source_top_terms,
     "cap_drop_accounting": q_cap_drop_accounting,
     "weighted_sample": q_weighted_sample,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "knn_label_propagation": q_knn_label_propagation,
+    "canonical_dedup": q_canonical_dedup,
     "semantic_dedup": q_semantic_dedup,
     "span_surgery": q_span_surgery,
     "unigram_commonness": q_unigram_commonness,
@@ -1668,6 +1693,49 @@ WHERE a.vec_id < b.vec_id
     "embedding_neardup_lsh": S.neardup_lsh_sql(
         threshold=0.3, bits=8, n_bands=8, max_bucket=256
     ),
+    # semantic decontamination: eval pool broadcast-joined to the
+    # corpus, max over rounded sims (fold-order-free)
+    "semantic_decontaminate": f"""
+WITH ev AS (
+  SELECT vec_id AS e_id, embedding AS e_emb FROM embeddings WHERE vec_id < 20
+),
+s AS (
+  SELECT c.vec_id,
+         round(({S.dot_sql("q.e_emb", "c.embedding")})
+               / (({S.norm_sql("q.e_emb")}) * ({S.norm_sql("c.embedding")})), 6) AS sim
+  FROM embeddings c CROSS JOIN ev q
+  WHERE c.vec_id >= 20
+)
+SELECT vec_id, max(sim) AS max_eval_sim, max(sim) >= 0.4 AS contaminated
+FROM s GROUP BY vec_id
+""",
+    # kNN label propagation: same sim chain, neighbor ties on vec_id,
+    # vote ties on the smaller label
+    "knn_label_propagation": f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 30
+),
+s AS (
+  SELECT q.q_id, c.vec_id, c.label,
+         round(({S.dot_sql("q.q_emb", "c.embedding")})
+               / (({S.norm_sql("q.q_emb")}) * ({S.norm_sql("c.embedding")})), 6) AS sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id >= 30
+),
+r AS (
+  SELECT q_id, label,
+    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM s
+),
+v AS (SELECT q_id, label, count(*) AS votes FROM r WHERE rk <= 5 GROUP BY 1, 2),
+p AS (
+  SELECT q_id, label, votes,
+    row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label ASC) AS pr
+  FROM v
+)
+SELECT q_id AS vec_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes
+FROM p WHERE pr = 1
+""",
     # seeded IVF: identical algorithm both engines (cell = argmin over
     # the first-16-vector centroids, same fold order). The driver
     # surface 'ivf_topk' is the same quantizer at probe width 6 (the
@@ -1909,6 +1977,19 @@ SELECT a.src AS source_a, b2.src AS source_b,
        count(*) AS n_shared_shingles
 FROM b a JOIN b b2 USING (s)
 WHERE a.src < b2.src GROUP BY 1, 2
+""",
+    # canonical (case/punct-insensitive) dedup: one shared regex in
+    # the Java∩RE2∩DuckDB subset; DuckDB needs the 'g' flag
+    "canonical_dedup": r"""
+WITH k AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon_fp
+  FROM documents
+)
+SELECT doc_id, canon_fp,
+  count(*) OVER (PARTITION BY canon_fp) AS n_variants,
+  doc_id = min(doc_id) OVER (PARTITION BY canon_fp) AS is_keeper
+FROM k
 """,
     # A-ES weighted sampling via the max-of-w-uniforms identity: pure
     # md5 + integer compares, so ranks are exact on both engines

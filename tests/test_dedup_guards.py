@@ -223,3 +223,24 @@ def test_span_surgery_duplicate_spans_from_two_partners(spark):
     assert len(pair_bs) >= 2
     assert out[3].n_spans_cut == 1
     assert out[3].clean_len == len(rows[2][1]) - out[3].n_chars_removed
+
+
+def test_canonical_dedup_collapses_trivial_variants(spark):
+    """Case/punct/whitespace variants land in one group with the min-id
+    keeper; genuinely different text stays separate."""
+    from ocr_spark.operators.dedup import canonical_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO-WORLD"),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_variants"], r["is_keeper"])
+        for r in canonical_dedup(docs).collect()
+    }
+    assert got == {1: (3, True), 2: (3, False), 3: (3, False), 4: (1, True)}

@@ -124,3 +124,53 @@ def test_sign_lsh_rejects_band_overflow(spark):
 
     with pytest.raises(ValueError, match="bands"):
         cosine_neardup_lsh(emb, bits=8, n_bands=8, dim=8)
+
+
+def test_semantic_decontaminate_flags_planted_eval_copy(spark):
+    """A corpus vector identical to an eval vector must flag at
+    sim=1.0; one orthogonal to every eval vector must not flag."""
+    from ocr_spark.operators.similarity import semantic_decontaminate
+
+    dim = 8
+    rows = []
+    for i in range(3):  # eval pool: one-hot dims 0..2
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v))
+    copy = [0.0] * dim
+    copy[1] = 1.0
+    rows.append((100, copy))  # exact copy of eval 1
+    ortho = [0.0] * dim
+    ortho[7] = 1.0
+    rows.append((101, ortho))  # orthogonal to all evals
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["max_eval_sim"], r["contaminated"])
+        for r in semantic_decontaminate(emb, n_eval=3, threshold=0.9, dim=dim).collect()
+    }
+    assert got[100] == (1.0, True)
+    assert got[101] == (0.0, False)
+    assert set(got) == {100, 101}  # eval rows excluded from output
+
+
+def test_knn_label_propagation_recovers_planted_cluster(spark):
+    """A query sitting inside a tight labeled cluster must take that
+    cluster's label unanimously; vote ties break to the smaller
+    label."""
+    from ocr_spark.operators.similarity import knn_label_propagation
+
+    dim = 4
+    rows = [(0, [1.0, 0.05, 0.0, 0.0], None)]  # query near label-7 axis
+    for i in range(3):  # label 7 cluster on axis 0
+        rows.append((10 + i, [1.0, 0.01 * i, 0.0, 0.0], 7))
+    for i in range(3):  # label 2 cluster on axis 1
+        rows.append((20 + i, [0.0, 1.0, 0.01 * i, 0.0], 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = knn_label_propagation(emb, n_queries=1, k=3, dim=dim).collect()
+    assert [(r["vec_id"], r["predicted_label"], r["votes"]) for r in got] == [(0, 7, 3)]
+    # tie case: k=4 pulls in one label-2 vote (3 vs 1 still label 7);
+    # k=6 makes it 3-3 → tie breaks to the SMALLER label (2)
+    tie = knn_label_propagation(emb, n_queries=1, k=6, dim=dim).collect()
+    assert [(r["predicted_label"], r["votes"]) for r in tie] == [(2, 3)]
