@@ -64,6 +64,46 @@ def windowed_turn_counts(
     )
 
 
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization on the live stream — the
+    ``F.session_window`` twin the batch ``sessionize_events``
+    docstring promises (relational.py): a conversation's session
+    extends while consecutive turns arrive within ``gap``; state per
+    open session is bounded by the watermark horizon (closed sessions
+    are finalized and evicted — the only shape that works unbounded).
+
+    Boundary semantics: session_window treats a turn landing exactly
+    ``gap`` after the previous as a NEW session (the window is the
+    half-open [event, event+gap)), while the batch lag-rule
+    (``diff > gap`` starts new) keeps it — agreeing everywhere except
+    exact-boundary ties; the parity test pins both behaviors.
+
+    Output one row per closed (session, conv): start/end + turn
+    count. Shuffles on (session window, conv) like the tumbling
+    variant above."""
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+
+
 def streaming_dedup(
     spark: SparkSession, input_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -147,3 +147,72 @@ def test_stateful_conv_progress(spark, transcripts_path, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_sessionize_matches_batch_session_window(spark, transcripts_path, tmp_path):
+    """The session_window streaming twin: complete-mode output over
+    the drained fixture equals the batch session_window groupBy on the
+    same data, and turn totals are conserved."""
+    from ocr_spark.streaming import streaming_sessionize
+
+    src = _split_input(spark, transcripts_path, str(tmp_path / "src_sess"))
+    q = (
+        streaming_sessionize(spark, src, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sessout")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_turns"])
+        for r in spark.sql("SELECT * FROM sessout").collect()
+    }
+    batch = {
+        (r["conv_id"], r["sw"]["start"], r["sw"]["end"], r["n"])
+        for r in (
+            spark.read.parquet(src)
+            .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert got == batch
+    assert sum(r[3] for r in got) == spark.read.parquet(src).count()
+
+
+def test_streaming_sessionize_gap_boundaries(spark, tmp_path):
+    """Constructed gaps pin the split rule: 29m59s stays one session,
+    30m01s splits — matching the batch lag-rule everywhere off the
+    exact boundary."""
+    from datetime import datetime, timedelta
+
+    from ocr_spark.streaming import streaming_sessionize
+
+    base = datetime(2026, 1, 1, 8, 0, 0)
+    rows = [
+        ("c1", 0, "user", "a", None, base),
+        ("c1", 1, "user", "b", None, base + timedelta(minutes=29, seconds=59)),
+        ("c1", 2, "user", "c", None, base + timedelta(minutes=70)),  # 40m gap → split
+        ("c2", 0, "user", "d", None, base),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    src = str(tmp_path / "gap_src")
+    df.write.mode("overwrite").parquet(src)
+    q = (
+        streaming_sessionize(spark, src, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("gapsess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["conv_id"], r["n_turns"])
+        for r in spark.sql("SELECT * FROM gapsess").collect()
+    )
+    assert got == [("c1", 1), ("c1", 2), ("c2", 1)]
