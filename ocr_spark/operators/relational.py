@@ -496,6 +496,47 @@ def sessionize_events(
     )
 
 
+def skew_report(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
+    """Key-skew diagnostic — the report you run BEFORE picking a
+    shuffle key, salt count, or bucket width: one row with total rows,
+    distinct keys, the heaviest key's count, and the ``top_n``
+    heaviest keys serialized as "key:count" (scalar cell — the driver
+    surface takes no arrays). ``salted_equijoin``'s n_salts and the
+    LSH/posting caps are sized from exactly these numbers.
+
+    Shape: one map-combined groupBy (shuffle = distinct keys), a
+    TakeOrderedAndProject for the top-N (no full sort), and an
+    all-to-one stats aggregate — safe on any input size. Determinism:
+    top-N orders by (count desc, key-as-string asc) and the serialized
+    list re-sorts the same way on both engines."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_count"),
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("k").cast("string").asc()).limit(top_n)
+    top_str = top.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("c")).alias("nc"),
+                            F.col("k").cast("string").alias("ks"),
+                        )
+                    )
+                ),
+                lambda s: F.concat(s["ks"], F.lit(":"), (-s["nc"]).cast("string")),
+            ),
+            ",",
+        ).alias("top_keys")
+    )
+    return stats.crossJoin(top_str).select(
+        F.lit(key_col).alias("key_col"), "n_rows", "n_keys", "max_count", "top_keys"
+    )
+
+
 def salted_equijoin(
     fact: DataFrame,
     dim: DataFrame,

@@ -252,6 +252,53 @@ WHERE round(({dot}) / (({na}) * ({nb})), 6) >= {threshold}
 """
 
 
+def cosine_topk_filtered(
+    emb: DataFrame,
+    allowed_ids: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Pre-filtered ANN ("filtered vector search"): cosine top-k where
+    candidates are restricted to ``allowed_ids`` (one ``vec_id``
+    column) BEFORE any distance work — the retrieval pattern behind
+    metadata-scoped search (lang = 'en', quality ≥ t, source = X).
+
+    Pre- vs post-filter matters at scale: post-filtering a plain
+    top-k under a selective predicate returns < k rows (or forces
+    k/selectivity over-fetch); pre-filtering does the key-sized
+    semi-join first, so the O(dim) cosine runs only on survivors.
+    When the metadata lives in the vector table itself the predicate
+    pushes into the scan instead and the join disappears — this
+    operator is the two-table form.
+
+    Output (q_id, vec_id, sim, rank) — rank over the filtered pool."""
+    from pyspark.sql import Window
+
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pool = emb.join(allowed_ids.select("vec_id").distinct(), "vec_id")
+    scored = (
+        pool.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr("q_emb", "embedding", dim)
+                / (norm_expr("q_emb", dim) * norm_expr("embedding", dim)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", "rank")
+    )
+
+
 def semantic_decontaminate(
     emb: DataFrame,
     n_eval: int = 20,

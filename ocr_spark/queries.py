@@ -247,6 +247,24 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_dedup(_docs(spark, sf_dir))
 
 
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-scoped vector search: cosine top-3 restricted to
+    English documents (pre-filter semi-join BEFORE any distance
+    work) — embeddings align with documents on vec_id = doc_id."""
+    allowed = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return S.cosine_topk_filtered(_emb(spark, sf_dir), allowed, n_queries=10, k=3)
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-key diagnostic over events.user_id — the numbers
+    that size salted_equijoin's n_salts and every cap in the repo."""
+    return R.skew_report(load_table(spark, sf_dir, "events"), "user_id", top_n=5)
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = to_media_table(_docs(spark, sf_dir))
     return media.select(
@@ -847,6 +865,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "knn_label_propagation": q_knn_label_propagation,
     "canonical_dedup": q_canonical_dedup,
+    "filtered_knn": q_filtered_knn,
+    "skew_report": q_skew_report,
     "semantic_dedup": q_semantic_dedup,
     "span_surgery": q_span_surgery,
     "unigram_commonness": q_unigram_commonness,
@@ -1708,6 +1728,39 @@ s AS (
 )
 SELECT vec_id, max(sim) AS max_eval_sim, max(sim) >= 0.4 AS contaminated
 FROM s GROUP BY vec_id
+""",
+    # filtered vector search: the lang predicate applies BEFORE any
+    # distance work (semi-join on id), same sim chain as knn_topk
+    "filtered_knn": f"""
+WITH allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+),
+s AS (
+  SELECT q.q_id, c.vec_id,
+         round(({S.dot_sql("q.q_emb", "c.embedding")})
+               / (({S.norm_sql("q.q_emb")}) * ({S.norm_sql("c.embedding")})), 6) AS sim
+  FROM embeddings c JOIN allowed USING (vec_id) CROSS JOIN q
+  WHERE c.vec_id != q.q_id
+),
+r AS (
+  SELECT q_id, vec_id, sim,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 3
+""",
+    # skew diagnostic: integer counts + a deterministic "key:count"
+    # serialization (order by count desc, key-string asc on both sides)
+    "skew_report": """
+WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+top AS (SELECT k, c FROM c ORDER BY c DESC, CAST(k AS VARCHAR) ASC LIMIT 5)
+SELECT 'user_id' AS key_col,
+  (SELECT CAST(sum(c) AS BIGINT) FROM c) AS n_rows,
+  (SELECT count(*) FROM c) AS n_keys,
+  (SELECT max(c) FROM c) AS max_count,
+  (SELECT string_agg(CAST(k AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
+                     ORDER BY c DESC, CAST(k AS VARCHAR) ASC) FROM top) AS top_keys
 """,
     # kNN label propagation: same sim chain, neighbor ties on vec_id,
     # vote ties on the smaller label

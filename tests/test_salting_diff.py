@@ -117,3 +117,17 @@ def test_salted_join_null_and_negative_spread_rows_survive(spark):
         ).distinct().collect()
     }
     assert all(0 <= s < 8 for s in salts)
+
+
+def test_skew_report_constructed(spark):
+    """Known skew: counts, key cardinality, max, and the serialized
+    top list all exact."""
+    from ocr_spark.operators.relational import skew_report
+
+    rows = [("a",)] * 10 + [("b",)] + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = skew_report(df, "k", top_n=2).collect()[0]
+    assert (got["key_col"], got["n_rows"], got["n_keys"], got["max_count"]) == (
+        "k", 12, 3, 10,
+    )
+    assert got["top_keys"] == "a:10,b:1"

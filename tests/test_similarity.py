@@ -174,3 +174,19 @@ def test_knn_label_propagation_recovers_planted_cluster(spark):
     # k=6 makes it 3-3 → tie breaks to the SMALLER label (2)
     tie = knn_label_propagation(emb, n_queries=1, k=6, dim=dim).collect()
     assert [(r["predicted_label"], r["votes"]) for r in tie] == [(2, 3)]
+
+
+def test_filtered_knn_respects_pool(spark):
+    """Every returned neighbor must be in the allowed pool, and ranks
+    must re-rank within the pool (not post-filter a global top-k)."""
+    from ocr_spark.operators.similarity import cosine_topk_filtered
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    allowed = emb.filter("vec_id % 2 = 0").select("vec_id")
+    got = cosine_topk_filtered(emb, allowed, n_queries=5, k=3).collect()
+    assert all(r["vec_id"] % 2 == 0 for r in got)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    # full rank sequence per query — post-filtering would leave holes
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
