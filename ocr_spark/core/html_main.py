@@ -50,6 +50,24 @@ _MIN_WORDS = 3
 _MIN_SOLID_CHARS = 12  # unsegmented-script fallback (no whitespace words)
 _MAX_LINK_DENSITY = 0.34
 
+# Per-tag behavior folded into one flags int so the builder's tag
+# events cost ONE dict probe instead of 3-4 frozenset tests (tag
+# events run ~100k/sec in the hot extraction loop). Semantics are
+# bit-for-bit the membership tests above — the flag application order
+# below mirrors the original if-chain order exactly.
+_F_BLOCK, _F_SKIP, _F_BOILER, _F_LINK = 1, 2, 4, 8
+_TAG_FLAGS: dict[str, int] = {}
+for _t in _BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
+for _t in _SKIP_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SKIP
+for _t in _BOILER_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BOILER
+_TAG_FLAGS["a"] = _TAG_FLAGS.get("a", 0) | _F_LINK
+# ASCII letters as a set: one hash probe replaces the
+# isascii()+isalpha() method-call pair at the scanner's '<'/'&' sites
+_ASCII_ALPHA = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
 
 class Block(NamedTuple):
     text: str        # normalized (entity-decoded, ws-collapsed) block text
@@ -134,31 +152,38 @@ class _BlockBuilder:
         if self._link_depth > 0:
             self._block_link_chars += len(collapse_all_ws(decoded))
 
-    # -- tag events ------------------------------------------------------
+    # -- tag events (one _TAG_FLAGS probe per event; order of the
+    # flag branches mirrors the original membership-test chain) ------
     def on_start(self, tag: str) -> None:
-        if tag in _BLOCK_TAGS:
+        f = _TAG_FLAGS.get(tag, 0)
+        if not f:
+            return
+        if f & _F_BLOCK:
             self._flush()
-        if tag in _SKIP_TAGS:
+        if f & _F_SKIP:
             self._skip_depth += 1
-        if tag in _BOILER_TAGS:
+        if f & _F_BOILER:
             self._flush()
             self._boiler_depth += 1
-        if tag == "a":
+        if f & _F_LINK:
             self._link_depth += 1
 
     def on_end(self, tag: str) -> None:
-        if tag in _BLOCK_TAGS:
+        f = _TAG_FLAGS.get(tag, 0)
+        if not f:
+            return
+        if f & _F_BLOCK:
             self._flush()
-        if tag in _SKIP_TAGS and self._skip_depth > 0:
+        if f & _F_SKIP and self._skip_depth > 0:
             self._skip_depth -= 1
-        if tag in _BOILER_TAGS and self._boiler_depth > 0:
+        if f & _F_BOILER and self._boiler_depth > 0:
             self._flush()
             self._boiler_depth -= 1
-        if tag == "a" and self._link_depth > 0:
+        if f & _F_LINK and self._link_depth > 0:
             self._link_depth -= 1
 
     def on_startend(self, tag: str) -> None:
-        if tag in _BLOCK_TAGS:
+        if _TAG_FLAGS.get(tag, 0) & _F_BLOCK:
             self._flush()
 
     def finish(self) -> None:
@@ -361,7 +386,7 @@ def _scan(raw: str, b: _BlockBuilder) -> None:
             break
         nxt1 = raw[i + 1] if i + 1 < n else ""
         if raw[i] == "<":
-            if nxt1 and (nxt1.isascii() and nxt1.isalpha()):
+            if nxt1 in _ASCII_ALPHA:
                 # start tag — mirror check_for_whole_start_tag +
                 # parse_starttag exactly
                 tm = _TAGNAME_RE.match(raw, i + 1)
@@ -430,7 +455,7 @@ def _scan(raw: str, b: _BlockBuilder) -> None:
                     i = em.end()
                 elif raw[i : i + 3] == "</>":
                     i += 3  # stdlib: consumed, no event
-                elif i + 2 < n and (raw[i + 2].isascii() and raw[i + 2].isalpha()):
+                elif i + 2 < n and raw[i + 2] in _ASCII_ALPHA:
                     # tolerant end tag: name then junk until '>'
                     tm = _TAGNAME_RE.match(raw, i + 2)
                     gt = raw.find(">", tm.end())
@@ -516,7 +541,7 @@ def _scan(raw: str, b: _BlockBuilder) -> None:
                 end = k + 1 if raw[k] == ";" else k
                 add(i, end, _html.unescape(f"&{em.group(1)};"))
                 i = end
-            elif i + 1 < n and (raw[i + 1].isascii() and raw[i + 1].isalpha()):
+            elif i + 1 < n and raw[i + 1] in _ASCII_ALPHA:
                 # incomplete entity at EOF (stdlib close() quirks)
                 if n - i == 2:
                     add(i + 1, n, raw[i + 1 :])  # '&' dropped

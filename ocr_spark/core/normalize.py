@@ -48,7 +48,20 @@ _NEWLINE_RE = re.compile(r"\r\n?")
 
 
 def fix_confusables(text: str) -> str:
-    """Repair known OCR/homoglyph confusables (ordered literal replaces)."""
+    """Repair known OCR/homoglyph confusables (ordered literal replaces).
+
+    ASCII fast path: every pattern except the T-zero pair contains a
+    non-ASCII char, so pure-ASCII text (the overwhelmingly common
+    chunk in the hot extraction loop) needs only those two checks —
+    `str.isascii` is one C-level pass. Output is identical: with
+    ASCII input the skipped patterns can never match, and the
+    survivors are order-independent among themselves."""
+    if text.isascii():
+        if " T0 " in text:
+            text = text.replace(" T0 ", " To ")
+        if " t0 " in text:
+            text = text.replace(" t0 ", " to ")
+        return text
     for wrong, right in _CONFUSABLE_REPLACEMENTS:
         if wrong in text:
             text = text.replace(wrong, right)
@@ -56,7 +69,16 @@ def fix_confusables(text: str) -> str:
 
 
 def normalize_unicode(text: str) -> str:
-    """NFKC fold + invisible-char removal + unicode-space unification."""
+    """NFKC fold + invisible-char removal + unicode-space unification.
+
+    ASCII fast path (exact): NFKC maps every ASCII char to itself and
+    both character classes below are non-ASCII-only, so ASCII input is
+    returned unchanged — this skips two regex subs + the NFKC call on
+    the hot path AND makes the caller's identity check
+    (`normalized == decoded` in html_main._flush) an O(1) same-object
+    compare."""
+    if text.isascii():
+        return text
     text = _ZERO_WIDTH_RE.sub("", text)
     text = _UNICODE_SPACE_RE.sub(" ", text)
     return unicodedata.normalize("NFKC", text)
