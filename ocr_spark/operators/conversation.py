@@ -173,3 +173,108 @@ def transaction_pivot(fields_df: DataFrame) -> DataFrame:
             for c in WEIGHBRIDGE_SLOT_FIELDS
         )
     return staged.groupBy("conv_id").agg(*aggs)
+
+
+def transcript_lint(transcripts: DataFrame) -> DataFrame:
+    """Transcript-corpus validation — the data-quality lint an agent-
+    transcript pipeline runs before training on conversations: per
+    conversation, counts of structural violations that silently poison
+    SFT data (the reference's upload-shape validation, P5, generalized
+    from file shape to CONVERSATION shape).
+
+    Checks (all integer counts / booleans — engine-exact):
+    - ``dup_idx``: repeated turn_idx values (breaks stable ordering,
+      the north rule's per-turn identity key);
+    - ``idx_contiguous``: turn_idx is exactly 0..n-1;
+    - ``ts_regressions``: turns whose timestamp precedes the previous
+      turn's (event-time disorder, breaks watermarked replay);
+    - ``role_repeats``: consecutive same-role turns (alternation
+      breaks — a *signal*, not always an error, for agent traces);
+    - ``tool_missing``: role='tool' turns with a NULL tool id;
+    - ``empty_turns``: whitespace-only text payloads.
+
+    One window shuffle on conv_id (the same hash(conv_id) layout the
+    extraction job shuffles by — co-partitioned, so running lint next
+    to extraction adds no extra exchange) + the per-conv aggregate.
+    Ordering inside a conversation is (turn_idx, ts, role, text) —
+    total even under dup_idx, so both engines agree."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", "role", "text")
+    staged = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        "text",
+        F.trim(F.col("text")).alias("_t"),
+    ).withColumns(
+        {
+            "_prev_ts": F.lag("ts").over(w),
+            "_prev_role": F.lag("role").over(w),
+        }
+    )
+    return staged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.count(F.lit(1)) - F.countDistinct("turn_idx")).alias("dup_idx"),
+        (
+            (F.max("turn_idx") == F.count(F.lit(1)) - 1)
+            & (F.min("turn_idx") == 0)
+            & (F.countDistinct("turn_idx") == F.count(F.lit(1)))
+        ).alias("idx_contiguous"),
+        F.sum(F.when(F.col("ts") < F.col("_prev_ts"), 1).otherwise(0))
+        .cast("long")
+        .alias("ts_regressions"),
+        F.sum(F.when(F.col("role") == F.col("_prev_role"), 1).otherwise(0))
+        .cast("long")
+        .alias("role_repeats"),
+        F.sum(
+            F.when((F.col("role") == "tool") & F.col("tool").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tool_missing"),
+        F.sum(F.when(F.col("_t") == "", 1).otherwise(0)).cast("long").alias(
+            "empty_turns"
+        ),
+    )
+
+
+def conv_dedup(transcripts: DataFrame) -> DataFrame:
+    """CONVERSATION-level exact dedup: a conversation's fingerprint is
+    the md5 of its turn texts concatenated in (turn_idx, text) order
+    with a \\x1f unit separator — the transcript-corpus analogue of
+    document `dedup_exact` (duplicate conversations are the dominant
+    exact-dup mode in agent-trace corpora: retried runs, replayed
+    sessions). The separator makes the fold injective over turn
+    boundaries ("ab"+"c" ≠ "a"+"bc").
+
+    One groupBy on conv_id (collect_list partial-merges map-side;
+    per-row state is one conversation's text, bounded by max
+    conversation length — the same heavy-conv skew the extraction
+    job's salting handles) + one fingerprint-keyed window for group
+    sizing. Keeper = lexicographically smallest conv_id.
+
+    Output (conv_id, conv_fp, n_turns, n_dup_convs, is_keeper)."""
+    from pyspark.sql import Window
+
+    fp = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+            "\x1f",
+        )
+    )
+    per_conv = transcripts.groupBy("conv_id").agg(
+        fp.alias("conv_fp"), F.count(F.lit(1)).alias("n_turns")
+    )
+    w = Window.partitionBy("conv_fp")
+    return per_conv.select(
+        "conv_id",
+        "conv_fp",
+        "n_turns",
+        F.count(F.lit(1)).over(w).alias("n_dup_convs"),
+        (F.col("conv_id") == F.min("conv_id").over(w)).alias("is_keeper"),
+    )

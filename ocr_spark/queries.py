@@ -391,6 +391,25 @@ def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_rollup(df)
 
 
+def q_transcript_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structural validation of the transcript corpus
+    (dup/missing turn_idx, timestamp disorder, role-alternation
+    breaks, toolless tool turns, empty payloads)."""
+    from ocr_spark.operators.conversation import transcript_lint
+
+    return transcript_lint(
+        spark.read.parquet(transcripts_fixture_path(_sf_of(sf_dir)))
+    )
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup: md5 over turn texts in
+    (turn_idx, text) order, \\x1f-separated; keeper = min conv_id."""
+    from ocr_spark.operators.conversation import conv_dedup
+
+    return conv_dedup(spark.read.parquet(transcripts_fixture_path(_sf_of(sf_dir))))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.job import ensure_package_shipped
 
@@ -831,6 +850,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # extraction engine (rows-only; exact-equality gate lives in tests/)
     "extract_transcripts": q_extract_transcripts,
     "conv_rollup": q_conv_rollup,
+    "transcript_lint": q_transcript_lint,
+    "conv_dedup": q_conv_dedup,
     "extract_fields": q_extract_fields,
     "transaction_pivot": q_transaction_pivot,
     "extract_documents": q_extract_documents,
@@ -1174,7 +1195,52 @@ def pipeline_oracle_overrides(sf: float, sf_dir: str) -> dict[str, str]:
         "transaction_pivot": _transaction_pivot_sql(fld),
         "conv_rollup": _conv_rollup_sql(_transcripts_fixture_sql_path(sf)),
         "sft_pairs": _sft_pairs_sql(_transcripts_fixture_sql_path(sf)),
+        "transcript_lint": _transcript_lint_sql(_transcripts_fixture_sql_path(sf)),
+        "conv_dedup": _conv_dedup_sql(_transcripts_fixture_sql_path(sf)),
     }
+
+
+def _transcript_lint_sql(transcripts_path: str | None = None) -> str:
+    """DuckDB twin of conversation.transcript_lint — same total
+    ordering (turn_idx, ts, role, text), same integer counts."""
+    p = transcripts_path or _transcripts_fixture_sql_path()
+    return f"""
+WITH s AS (
+  SELECT conv_id, turn_idx, role, tool, ts, trim(text) AS t,
+    lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role, text) AS prev_ts,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role, text) AS prev_role
+  FROM read_parquet('{p}')
+)
+SELECT conv_id,
+  count(*) AS n_turns,
+  CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS dup_idx,
+  (max(turn_idx) = count(*) - 1 AND min(turn_idx) = 0
+   AND count(DISTINCT turn_idx) = count(*)) AS idx_contiguous,
+  CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS ts_regressions,
+  CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS role_repeats,
+  CAST(sum(CASE WHEN role = 'tool' AND tool IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS tool_missing,
+  CAST(sum(CASE WHEN t = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_turns
+FROM s GROUP BY conv_id
+"""
+
+
+def _conv_dedup_sql(transcripts_path: str | None = None) -> str:
+    """DuckDB twin of conversation.conv_dedup — string_agg ORDER BY
+    (turn_idx, text) ≡ Spark's array_sort(struct(turn_idx, text))."""
+    p = transcripts_path or _transcripts_fixture_sql_path()
+    return f"""
+WITH pc AS (
+  SELECT conv_id,
+    md5(string_agg(text, chr(31) ORDER BY turn_idx, text)) AS conv_fp,
+    count(*) AS n_turns
+  FROM read_parquet('{p}') GROUP BY conv_id
+)
+SELECT conv_id, conv_fp, n_turns,
+  count(*) OVER (PARTITION BY conv_fp) AS n_dup_convs,
+  conv_id = min(conv_id) OVER (PARTITION BY conv_fp) AS is_keeper
+FROM pc
+"""
 
 
 def _transaction_pivot_sql(fields_path: str | None = None) -> str:
@@ -1864,6 +1930,8 @@ FROM documents
     # conv_rollup / sft_pairs: plain SQL over the same transcripts
     # parquet the Spark side reads — no Python oracle involved at all
     "conv_rollup": _conv_rollup_sql(),
+    "transcript_lint": _transcript_lint_sql(),
+    "conv_dedup": _conv_dedup_sql(),
     "sft_pairs": _sft_pairs_sql(),
     # chunking: range(0, n, stride) starts + list slices — mirrors
     # chunk_structs (tail chunks shorter than the window are kept)

@@ -478,3 +478,61 @@ def test_duplicate_components_chain_converges_in_log_rounds(spark):
     # and the bound is real: plain propagation could not do this in 8
     with pytest.raises(RuntimeError, match="converge"):
         duplicate_components(docs, chain, max_iters=1).collect()
+
+
+def test_transcript_lint_constructed_violations(spark):
+    """Every lint dimension fires on a purpose-built conversation and
+    stays zero on a clean one."""
+    from datetime import datetime, timedelta
+
+    from ocr_spark.operators.conversation import transcript_lint
+
+    t0 = datetime(2026, 1, 1, 9, 0, 0)
+    rows = [
+        # clean conv: contiguous idx, increasing ts, alternating roles
+        ("ok", 0, "user", "hi", None, t0),
+        ("ok", 1, "assistant", "hello", None, t0 + timedelta(seconds=10)),
+        # broken conv: dup idx 1, ts regression, user,user repeat,
+        # toolless tool turn, empty text, idx gap (no 2)
+        ("bad", 0, "user", "a", None, t0),
+        ("bad", 1, "user", "b", None, t0 - timedelta(seconds=5)),
+        ("bad", 1, "tool", " ", None, t0 + timedelta(seconds=1)),
+        ("bad", 3, "assistant", "c", None, t0 + timedelta(seconds=2)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r["conv_id"]: r.asDict() for r in transcript_lint(df).collect()}
+    ok, bad = got["ok"], got["bad"]
+    assert (ok["n_turns"], ok["dup_idx"], ok["idx_contiguous"]) == (2, 0, True)
+    assert (ok["ts_regressions"], ok["role_repeats"], ok["tool_missing"], ok["empty_turns"]) == (0, 0, 0, 0)
+    assert bad["n_turns"] == 4 and bad["dup_idx"] == 1
+    assert bad["idx_contiguous"] is False
+    # ordering (turn_idx, ts, role, text): idx-1 rows order user@-5s
+    # then tool@+1s → regressions: t0→t0-5s (1); repeats: user,user (1)
+    assert bad["ts_regressions"] == 1 and bad["role_repeats"] == 1
+    assert bad["tool_missing"] == 1 and bad["empty_turns"] == 1
+
+
+def test_conv_dedup_finds_duplicate_conversations(spark):
+    """Two conversations with identical ordered turn texts share a
+    fingerprint (keeper = min conv_id); the separator keeps shifted
+    turn boundaries distinct."""
+    from datetime import datetime
+
+    from ocr_spark.operators.conversation import conv_dedup
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        ("a", 0, "user", "foo", None, t0), ("a", 1, "assistant", "bar", None, t0),
+        ("b", 0, "user", "foo", None, t0), ("b", 1, "assistant", "bar", None, t0),
+        # same chars, different turn split: "fo"+"obar" != "foo"+"bar"
+        ("c", 0, "user", "fo", None, t0), ("c", 1, "assistant", "obar", None, t0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r["conv_id"]: (r["n_dup_convs"], r["is_keeper"]) for r in conv_dedup(df).collect()}
+    assert got == {"a": (2, True), "b": (2, False), "c": (1, True)}
