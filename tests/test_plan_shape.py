@@ -320,3 +320,46 @@ def test_banded_sign_lsh_no_cartesian_and_capped(spark):
     assert "BroadcastNestedLoop" not in plan
     # the cap filter is present in the plan (count <= max_bucket)
     assert "256" in plan
+
+
+def test_weighted_sample_single_exchange(spark):
+    """A-ES sampling is key-local: the only wide op is the per-group
+    top-k window — one exchange on the group column, zero UDFs."""
+    from ocr_spark.operators.corpus import weighted_sample
+    from ocr_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "weight", (F.lit(1) + F.floor(F.length("text") / 512)).cast("int")
+    )
+    df = weighted_sample(docs, k=20)
+    assert count_exchanges(df) == 1
+    assert udf_stage_count(df) == 0
+    # column pruning: the sampler never reads text beyond the weight
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontaminate_broadcast_only(spark):
+    """The eval pool broadcasts; the corpus side is never shuffled
+    before the scoring join (one exchange for the final groupBy)."""
+    from ocr_spark.operators.similarity import semantic_decontaminate
+    from ocr_spark.sources.io import load_table
+
+    df = semantic_decontaminate(load_table(spark, SF_DIR, "embeddings"))
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert count_exchanges(df) <= 1  # broadcast exchanges aren't counted
+
+
+def test_conv_ops_exchange_bounds(spark, transcripts_path):
+    """transcript_lint: one conv window + conv agg reuse the same hash
+    partitioning (≤2 exchanges, AQE may fuse); conv_dedup: conv agg +
+    fp window (≤2)."""
+    from ocr_spark.operators.conversation import conv_dedup, transcript_lint
+
+    t = spark.read.parquet(transcripts_path)
+    assert count_exchanges(transcript_lint(t)) <= 2
+    assert count_exchanges(conv_dedup(t)) <= 2
+    for fn in (transcript_lint, conv_dedup):
+        assert "CartesianProduct" not in physical_plan(fn(t))

@@ -101,3 +101,53 @@ def test_fast_tokenizer_equals_stdlib_property(raw):
         extract_html(raw)  # totality is the contract here
         return
     assert extract_html(raw) == ref
+
+
+@settings(max_examples=300, deadline=None)
+@given(_text)
+def test_canonicalization_idempotent_and_engine_agnostic(raw):
+    """The canonical_dedup normalization (lower → non-alnum runs →
+    one space → trim) is idempotent — re-canonicalizing a canonical
+    form is a no-op, so incremental re-runs never re-group docs — and
+    its Python re twin here matches the semantics both engines
+    execute (same pattern, 'g'-flag equivalent)."""
+    import re
+
+    def canon(t: str) -> str:
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+    c = canon(raw)
+    assert canon(c) == c
+    # canonical form contains only [a-z0-9 ] with single spaces
+    assert not re.search(r"[^a-z0-9 ]|  ", c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_ascii_fast_paths_exact(raw):
+    """The normalize fast paths must be EXACT: outputs equal the
+    unconditioned reference implementations on arbitrary input."""
+    import re as _re
+    import unicodedata
+
+    from ocr_spark.core.normalize import (
+        _CONFUSABLE_REPLACEMENTS,
+        _UNICODE_SPACE_RE,
+        _ZERO_WIDTH_RE,
+        fix_confusables,
+        normalize_unicode,
+    )
+
+    def ref_fix(text):
+        for wrong, right in _CONFUSABLE_REPLACEMENTS:
+            if wrong in text:
+                text = text.replace(wrong, right)
+        return text
+
+    def ref_norm(text):
+        text = _ZERO_WIDTH_RE.sub("", text)
+        text = _UNICODE_SPACE_RE.sub(" ", text)
+        return unicodedata.normalize("NFKC", text)
+
+    assert fix_confusables(raw) == ref_fix(raw)
+    assert normalize_unicode(raw) == ref_norm(raw)
