@@ -110,6 +110,39 @@ def main() -> None:
     print("== snapshot self-diff (CDC sanity: everything unchanged)")
     snapshot_diff(clean, clean).orderBy("source").show(3)
 
+    print("== weighted sampling (A-ES, 5 per source, weight ∝ length)")
+    from ocr_spark.operators.corpus import weighted_sample
+
+    weighted = weighted_sample(
+        clean.withColumn(
+            "weight", (F.lit(1) + F.floor(F.length("text") / 512)).cast("int")
+        ),
+        k=5,
+    )
+    weighted.orderBy("source", "sample_rank").show(5)
+
+    print("== embedding-space passes: semantic dedup clusters,")
+    print("   eval decontamination, label propagation, filtered search")
+    from ocr_spark.operators.similarity import (
+        cosine_neardup_lsh,
+        cosine_topk_filtered,
+        knn_label_propagation,
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_lsh(emb, threshold=0.3, bits=8, n_bands=8, max_bucket=256)
+    comps = duplicate_components(emb.select("vec_id"), pairs, id_col="vec_id")
+    n_collapsed = comps.filter(~F.col("is_keeper")).count()
+    print(f"   semantic dedup: {n_collapsed} vectors collapse into clusters")
+    contaminated = semantic_decontaminate(emb).filter("contaminated").count()
+    print(f"   eval-similar vectors flagged: {contaminated}")
+    knn_label_propagation(emb, n_queries=5, k=5).show(5)
+    en_ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    ).select(F.col("doc_id").alias("vec_id"))
+    cosine_topk_filtered(emb, en_ids, n_queries=3, k=2).show(6)
+
     spark.stop()
     print("corpus prep walkthrough complete")
 
