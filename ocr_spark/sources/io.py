@@ -130,3 +130,55 @@ def write_transaction_report(pivot_df: DataFrame, dest: str) -> None:
     rows are identical): one CSV row per conversation from the
     transaction pivot, ordered by conv_id for a stable report."""
     write_csv_report(pivot_df.orderBy("conv_id"), dest)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    min_files: int = 1,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-running ingest needs (streaming microbatches and per-shard
+    resume output accumulate files far below the HDFS/S3-efficient
+    block size; a 100 TB table of 1 MB files is a metadata DoS on the
+    NameNode/object store AND a task-granularity disaster: one scan
+    task per tiny file).
+
+    Rewrites ``path`` in place to ceil(bytes / target_file_mb) files
+    via a staging directory + atomic directory swap (write staging →
+    move old aside → move staging in → delete old), so a concurrent
+    reader sees either the old or the new complete file set, never a
+    partial mix. On Iceberg this is `rewrite_data_files`; this is the
+    plain-parquet form for the job's output directories.
+
+    Returns {files_before, files_after, bytes} for lineage/metrics.
+    Content is preserved exactly (same rows; file grouping changes)."""
+    import math
+    import shutil
+
+    def _parts(p: str) -> list[str]:
+        return [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    before = _parts(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_out = max(min_files, math.ceil(total_bytes / (target_file_mb * (1 << 20))))
+    staging = path.rstrip("/") + ".compact_staging"
+    old = path.rstrip("/") + ".compact_old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    # coalesce, not repartition: compaction must not pay a shuffle —
+    # it only narrows the output file count
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(staging)
+    os.replace(path.rstrip("/"), old)
+    os.replace(staging, path.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": len(before),
+        "files_after": len(_parts(path)),
+        "bytes": total_bytes,
+    }

@@ -83,3 +83,23 @@ def test_identifier_roundtrip_via_iceberg(spark, tmp_path):
         assert read_input(spark, tbl).count() == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Compaction: many tiny files → few, rows byte-identical, old
+    directory cleaned up, metrics accurate."""
+    from ocr_spark.sources.io import compact_parquet, load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_tiny")
+    src.repartition(24).write.parquet(path)
+    import os as _os
+
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    stats = compact_parquet(spark, path, target_file_mb=256)
+    assert stats["files_before"] == 24
+    assert stats["files_after"] == 1  # tiny table → one file
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    assert not _os.path.exists(path + ".compact_old")
+    assert not _os.path.exists(path + ".compact_staging")
