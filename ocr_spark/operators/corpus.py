@@ -757,3 +757,91 @@ def source_top_terms(
             "rn",
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Collocation mining: the corpus's most-associated adjacent word
+    pairs by pointwise mutual information — the classic phrase
+    detector (Church & Hanks 1990; word2vec's phrase pass uses the
+    same statistic). Complements tfidf_top_terms / source_top_terms
+    (which rank single terms per doc/source) with corpus-global
+    MULTI-word units — the vocabulary entries a tokenizer or phrase
+    normalizer should treat as one symbol.
+
+    Exact-parity arithmetic: PMI = log of n_total·c(xy) / (c(x)·c(y)),
+    and log is monotone, so ranking by the RATIO is ranking by PMI —
+    and the ratio is two exact BIGINT products (each < 2^53 here;
+    at extreme corpus scale lift them to DECIMAL(38,0)) meeting in ONE
+    IEEE division, bit-identical on any engine — no transcendental
+    ``ln`` whose last ulp varies between libm builds (same dodge as
+    unigram_commonness). min_count floors the classic PMI rare-pair
+    pathology (a 1-occurrence pair of two 1-occurrence words scores
+    maximal PMI).
+
+    Shape: one corpus-sized partial-agg shuffle for bigram counts, one
+    for unigram counts (vocabulary-sized output); unigram counts then
+    broadcast-join back onto the min_count-survivor bigrams (vocab-
+    sized, metadata-class — same broadcast role as tfidf's dfreq), and
+    the final top_n window sorts only the survivor table. No shuffle
+    carries document text.
+
+    Output (bigram, c_xy, c_x, c_y, pmi_ratio, rank), rank 1..top_n by
+    (ratio desc, bigram asc) — a total order, so ties are stable.
+    """
+    from pyspark.sql import Window
+
+    w = tokens(F.col(text_col))
+    pairs = (
+        df.select(w.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS x, toks[i] AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+    )
+    uni = (
+        df.select(F.explode(w).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    n_total = uni.agg(F.sum("c_t").alias("n_total"))
+    big = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    scored = (
+        big.join(F.broadcast(uni.withColumnRenamed("t", "x")), "x")
+        .withColumnRenamed("c_t", "c_x")
+        .join(F.broadcast(uni.withColumnRenamed("t", "y")), "y")
+        .withColumnRenamed("c_t", "c_y")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                (F.col("n_total") * F.col("c_xy")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double"),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
+    rk = Window.orderBy(F.desc("pmi_ratio"), "bigram")
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_n)
+        .select("bigram", "c_xy", "c_x", "c_y", "pmi_ratio", "rank")
+    )

@@ -779,6 +779,39 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, base.unionByName(added))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-index dedup over deterministically-derived inputs
+    (same construction pattern as snapshot_diff): the historical index
+    holds the fingerprints of docs with id % 3 == 0; the incoming
+    batch is every doc plus high-id exact copies of docs with
+    id % 7 == 0 — so the verdicts exercise all three outcomes
+    (re-crawl of indexed docs → dup_index, fresh copies of unindexed
+    docs → dup_batch, the rest → novel)."""
+    from ocr_spark.functions.text import fingerprint
+    from ocr_spark.operators.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    batch = docs.unionByName(
+        docs.filter(did % 7 == 0).select(
+            (did + 10000000).alias("doc_id"), "text"
+        )
+    )
+    index = docs.filter(did % 3 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    return incremental_dedup(batch, index)
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global collocations: top-50 adjacent word pairs by PMI
+    (ranked via the exact-count ratio — see the operator docstring),
+    min_count=5."""
+    from ocr_spark.operators.corpus import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir))
+
+
 def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimates for the 20 most frequent
     l_partkey values — pure integer arithmetic, est >= exact always
@@ -898,6 +931,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # skew-safe join mechanism + corpus CDC
     "salted_join_revenue": R.salted_part_revenue,
     "snapshot_diff": q_snapshot_diff,
+    # batch-vs-index dedup protocol + collocation mining
+    "incremental_dedup": q_incremental_dedup,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 # ---------------------------------------------------------------------------
@@ -2741,4 +2777,67 @@ r AS (
 )
 SELECT source, term, tf_s, tf_c, round(keyness, 6) AS keyness, rn
 FROM r WHERE rn <= 5
+"""
+
+# batch-vs-index dedup: same derived batch/index in both engines;
+# verdict precedence dup_index > dup_batch > novel, min-id first-wins
+ORACLE_SQL["incremental_dedup"] = f"""
+WITH batch AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0
+),
+b AS (SELECT doc_id, {_FP_SQL} AS fp FROM batch),
+r AS (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM b
+),
+idx AS (
+  SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id % 3 = 0
+)
+SELECT r.doc_id, r.fp,
+  CASE WHEN idx.fp IS NOT NULL THEN 'dup_index'
+       WHEN r.rn > 1 THEN 'dup_batch'
+       ELSE 'novel' END AS verdict
+FROM r LEFT JOIN idx ON r.fp = idx.fp
+"""
+
+# PMI collocations: ranking by the exact-count ratio (log is monotone)
+# - two exact BIGINT products meeting in one IEEE division
+ORACLE_SQL["pmi_collocations"] = f"""
+WITH toks AS (SELECT {_TOKS} AS w FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(len(w) - 1),
+    i -> struct_pack(x := w[i+1], y := w[i+2]))) AS p
+  FROM toks WHERE len(w) >= 2
+),
+xy AS (SELECT p.x AS x, p.y AS y FROM pairs),
+uc AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c_t
+  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1
+),
+nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_total FROM uc),
+bc AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+  FROM xy GROUP BY 1, 2 HAVING count(*) >= 5
+),
+s AS (
+  SELECT bc.x || ' ' || bc.y AS bigram, bc.c_xy,
+         ux.c_t AS c_x, uy.c_t AS c_y,
+         round(CAST(nt.n_total * bc.c_xy AS DOUBLE)
+               / CAST(ux.c_t * uy.c_t AS DOUBLE), 6) AS pmi_ratio
+  FROM bc
+  JOIN uc ux ON bc.x = ux.t
+  JOIN uc uy ON bc.y = uy.t
+  CROSS JOIN nt
+),
+rk AS (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY pmi_ratio DESC, bigram ASC
+  ) AS INTEGER) AS rank
+  FROM s
+)
+SELECT bigram, c_xy, c_x, c_y, pmi_ratio, rank FROM rk WHERE rank <= 50
 """

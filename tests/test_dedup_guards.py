@@ -244,3 +244,40 @@ def test_canonical_dedup_collapses_trivial_variants(spark):
         for r in canonical_dedup(docs).collect()
     }
     assert got == {1: (3, True), 2: (3, False), 3: (3, False), 4: (1, True)}
+
+
+def test_incremental_dedup_verdict_precedence(spark):
+    """dup_index outranks dup_batch (every batch copy of an indexed
+    fingerprint is dup_index, including the batch's own first
+    occurrence); min-id first-wins decides dup_batch vs novel; the
+    fingerprint is canonical (case/ws-folded), so a re-cased re-crawl
+    still hits the index."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.text import fingerprint
+    from ocr_spark.operators.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [
+            (1, "Alpha doc"),   # fp in index -> dup_index
+            (2, "alpha  DOC"),  # same canonical fp -> dup_index (not dup_batch)
+            (3, "beta doc"),    # novel, first sighting
+            (4, "beta doc"),    # within-batch copy -> dup_batch
+            (5, "gamma doc"),   # novel
+        ],
+        "doc_id int, text string",
+    )
+    index = spark.createDataFrame([("alpha doc",)], "text string").select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup(batch, index).collect()
+    }
+    assert got == {
+        1: "dup_index",
+        2: "dup_index",
+        3: "novel",
+        4: "dup_batch",
+        5: "novel",
+    }

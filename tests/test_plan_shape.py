@@ -363,3 +363,34 @@ def test_conv_ops_exchange_bounds(spark, transcripts_path):
     assert count_exchanges(conv_dedup(t)) <= 2
     for fn in (transcript_lint, conv_dedup):
         assert "CartesianProduct" not in physical_plan(fn(t))
+
+
+def test_incremental_dedup_fp_keyed_only(spark):
+    """Batch-vs-index dedup shuffles (id, 32-hex fp) rows only: one
+    exchange for the within-batch window, one for the index distinct
+    (joined on the SAME fp key — bucketable to zero at scale); the
+    scan reads nothing beyond (doc_id, text)."""
+    from ocr_spark.queries import q_incremental_dedup
+
+    df = q_incremental_dedup(spark, SF_DIR)
+    assert count_exchanges(df) == 2
+    assert udf_stage_count(df) == 0
+    cols = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_pmi_collocations_bounded_rank_sort(spark):
+    """The rank<=top_n filter must compile to a window-group-limit
+    (TakeOrderedAndProject): the global PMI sort touches only the
+    top-k survivors, never the full bigram vocabulary; unigram counts
+    broadcast back onto the min_count-filtered bigram table."""
+    from ocr_spark.queries import q_pmi_collocations
+
+    df = q_pmi_collocations(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    import re
+    assert len(re.findall(r"^\s*\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
+    assert "CartesianProduct" not in plan
+    assert udf_stage_count(df) == 0
