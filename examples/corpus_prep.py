@@ -57,6 +57,16 @@ def main() -> None:
     groups = dedup_exact(kept.select("doc_id", "text", "source"))
     print(f"   {groups.count()} distinct fingerprints (keeper = min doc_id)")
 
+    print("== incremental dedup vs yesterday's index (batch-vs-index)")
+    from ocr_spark.functions.text import fingerprint
+    from ocr_spark.operators.dedup import incremental_dedup
+
+    yesterday = kept.filter(F.col("doc_id") % 2 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    verdicts = incremental_dedup(kept.select("doc_id", "text"), yesterday)
+    verdicts.groupBy("verdict").count().orderBy("verdict").show()
+
     print("== near-dup pairs (MinHash-LSH, threshold 0.5)")
     pairs = minhash_lsh_dedup(kept.select("doc_id", "text"), threshold=0.5)
     print(f"   {pairs.count()} near-dup pairs flagged")
@@ -77,6 +87,11 @@ def main() -> None:
     decon = decontaminate(kept.select("doc_id", "text"))
     flagged = decon.filter(F.col("contaminated") == 1).count()
     print(f"   {flagged} training docs share an n-gram with the eval slice")
+
+    print("== collocations (top adjacent pairs by PMI, min_count=5)")
+    from ocr_spark.operators.corpus import pmi_collocations
+
+    pmi_collocations(kept.select("doc_id", "text"), top_n=5).show(5)
 
     print("== PII redaction + sequence packing (512-token windows)")
     clean = kept.select(
