@@ -785,11 +785,18 @@ def pmi_collocations(
     maximal PMI).
 
     Shape: one corpus-sized partial-agg shuffle for bigram counts, one
-    for unigram counts (vocabulary-sized output); unigram counts then
-    broadcast-join back onto the min_count-survivor bigrams (vocab-
-    sized, metadata-class — same broadcast role as tfidf's dfreq), and
+    for unigram counts (vocabulary-sized output); unigram marginals
+    then broadcast-join back onto the min_count-survivor bigrams, and
     the final top_n window sorts only the survivor table. No shuffle
-    carries document text.
+    carries document text. The broadcast side is NOT the full
+    vocabulary: a surviving bigram needs c(xy) >= min_count, and
+    c(x) >= c(xy), so marginals are pre-filtered to c_t >= min_count —
+    provably output-invariant, and it cuts the hapax-dominated Zipf
+    tail (the bulk of distinct types in a web corpus) before the
+    broadcast. n_total still sums the UNFILTERED counts. If the
+    filtered marginal table still exceeds broadcast size at extreme
+    vocabulary scale, drop the two broadcast() hints and let AQE pick
+    a sort-merge join on the token key — the semantics don't move.
 
     Output (bigram, c_xy, c_x, c_y, pmi_ratio, rank), rank 1..top_n by
     (ratio desc, bigram asc) — a total order, so ties are stable.
@@ -816,15 +823,18 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).alias("c_t"))
     )
     n_total = uni.agg(F.sum("c_t").alias("n_total"))
+    # output-invariant broadcast bound: c(x) >= c(xy) >= min_count for
+    # every surviving bigram, so sub-min_count marginals can't join
+    marg = uni.filter(F.col("c_t") >= min_count)
     big = (
         pairs.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= min_count)
     )
     scored = (
-        big.join(F.broadcast(uni.withColumnRenamed("t", "x")), "x")
+        big.join(F.broadcast(marg.withColumnRenamed("t", "x")), "x")
         .withColumnRenamed("c_t", "c_x")
-        .join(F.broadcast(uni.withColumnRenamed("t", "y")), "y")
+        .join(F.broadcast(marg.withColumnRenamed("t", "y")), "y")
         .withColumnRenamed("c_t", "c_y")
         .crossJoin(F.broadcast(n_total))
         .select(
