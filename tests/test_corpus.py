@@ -319,3 +319,50 @@ def test_weighted_sample_bias_determinism_and_small_groups(spark):
     assert len(g) == 100 and heavy >= 60, heavy
     tiny = [r for r in a if r[1] == "tiny"]
     assert sorted(r[3] for r in tiny) == [1, 2, 3, 4, 5]
+
+
+def test_pmi_collocations_count_invariants(spark):
+    """Every reported pair satisfies the count lattice (c_x >= c_xy,
+    c_y >= c_xy >= min_count), ranks are contiguous from 1, and the
+    ratio recomputes exactly from the emitted counts and the corpus
+    token total — so the broadcast-side marginal filter provably
+    dropped nothing that could score."""
+    from ocr_spark.operators.corpus import pmi_collocations
+    from ocr_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_total = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    ).count()
+    rows = pmi_collocations(docs, min_count=5, top_n=20).collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, len(rows) + 1)
+    )
+    for r in rows:
+        assert r.c_xy >= 5 and r.c_x >= r.c_xy and r.c_y >= r.c_xy
+        assert r.pmi_ratio == round(n_total * r.c_xy / (r.c_x * r.c_y), 6)
+
+
+def test_incremental_dedup_novel_closure(spark):
+    """Protocol soundness: append the novel set's fingerprints to the
+    index and re-run the same batch — everything must come back
+    dup_index (the fixed point a daily crawl loop converges to), and
+    verdict counts partition the batch exactly."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.text import fingerprint
+    from ocr_spark.operators.dedup import incremental_dedup
+    from ocr_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    index = docs.filter(F.col("doc_id") % 2 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    day1 = incremental_dedup(docs, index)
+    assert day1.count() == docs.count()
+    novel_fps = day1.filter(F.col("verdict") == "novel").select("fp")
+    day2 = incremental_dedup(docs, index.unionByName(novel_fps))
+    assert day2.filter(F.col("verdict") != "dup_index").count() == 0
