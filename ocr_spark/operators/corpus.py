@@ -855,3 +855,62 @@ def pmi_collocations(
         .filter(F.col("rank") <= top_n)
         .select("bigram", "c_xy", "c_x", "c_y", "pmi_ratio", "rank")
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 30,
+    min_count: int = 5,
+) -> DataFrame:
+    """Tokenizer-training primitive: the first BPE merge step's pair
+    statistics (Sennrich et al. 2016) — adjacent character-pair counts
+    over the corpus, each word's pairs weighted by the word's corpus
+    frequency. The top pair IS the first merge a BPE trainer would
+    learn; re-running on re-segmented vocab yields the next, so this
+    one operator is the fixed point of the whole training loop.
+
+    Shape — the reason this scales: corpus text is touched ONCE, by
+    the word-count aggregation (partial-agg shuffle, vocabulary-sized
+    output). The quadratic-looking pair explosion then runs on the
+    VOCABULARY table (distinct words × avg word length rows — millions,
+    not trillions), and the final rank filter compiles to a
+    window-group-limit. Pure integer sums end to end.
+
+    Output (pair, lhs, rhs, pair_count, rank), rank 1..top_n by
+    (count desc, pair asc)."""
+    from pyspark.sql import Window
+
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substr(word, i, 1) AS l,"
+                " substr(word, i + 1, 1) AS r))"
+            )
+        ).alias("p"),
+    ).select("p.l", "p.r", "wc")
+    counted = (
+        pairs.groupBy("l", "r")
+        .agg(F.sum("wc").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+        .select(
+            F.concat("l", "r").alias("pair"),
+            F.col("l").alias("lhs"),
+            F.col("r").alias("rhs"),
+            "pair_count",
+        )
+    )
+    rk = Window.orderBy(F.desc("pair_count"), "pair")
+    return (
+        counted.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_n)
+        .select("pair", "lhs", "rhs", "pair_count", "rank")
+    )

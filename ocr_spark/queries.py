@@ -812,6 +812,14 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(_docs(spark, sf_dir))
 
 
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-BPE-merge pair statistics over the documents vocabulary
+    (top-30 adjacent character pairs weighted by word frequency)."""
+    from ocr_spark.operators.corpus import bpe_merge_candidates
+
+    return bpe_merge_candidates(_docs(spark, sf_dir))
+
+
 def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimates for the 20 most frequent
     l_partkey values — pure integer arithmetic, est >= exact always
@@ -931,9 +939,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # skew-safe join mechanism + corpus CDC
     "salted_join_revenue": R.salted_part_revenue,
     "snapshot_diff": q_snapshot_diff,
-    # batch-vs-index dedup protocol + collocation mining
+    # batch-vs-index dedup protocol + collocation mining + BPE stats
     "incremental_dedup": q_incremental_dedup,
     "pmi_collocations": q_pmi_collocations,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
 }
 
 # ---------------------------------------------------------------------------
@@ -2840,4 +2849,37 @@ rk AS (
   FROM s
 )
 SELECT bigram, c_xy, c_x, c_y, pmi_ratio, rank FROM rk WHERE rank <= 50
+"""
+
+# first-BPE-merge pair statistics: vocabulary-weighted adjacent char
+# pairs - the pair explosion runs on the vocab table, never the corpus
+ORACLE_SQL["bpe_merge_candidates"] = f"""
+WITH words AS (
+  SELECT unnest({_TOKS}) AS word FROM documents
+),
+vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wc
+  FROM words WHERE length(word) >= 2 GROUP BY 1
+),
+pairs AS (
+  SELECT wc, unnest(list_transform(range(length(word) - 1),
+    i -> struct_pack(
+      l := substring(word, CAST(i AS INTEGER) + 1, 1),
+      r := substring(word, CAST(i AS INTEGER) + 2, 1)))) AS p
+  FROM vocab
+),
+c AS (
+  SELECT p.l AS l, p.r AS r, CAST(sum(wc) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1, 2 HAVING sum(wc) >= 5
+),
+s AS (
+  SELECT l || r AS pair, l AS lhs, r AS rhs, pair_count FROM c
+),
+rk AS (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY pair_count DESC, pair ASC
+  ) AS INTEGER) AS rank
+  FROM s
+)
+SELECT pair, lhs, rhs, pair_count, rank FROM rk WHERE rank <= 30
 """

@@ -394,3 +394,18 @@ def test_pmi_collocations_bounded_rank_sort(spark):
     assert len(re.findall(r"^\s*\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
     assert "CartesianProduct" not in plan
     assert udf_stage_count(df) == 0
+
+
+def test_bpe_merge_candidates_vocab_sized_explosion(spark):
+    """The char-pair explosion must run on the VOCABULARY table, not
+    the corpus: exactly two exchanges (corpus word count, vocab pair
+    count), zero UDF stages, and the rank filter compiles to a
+    window-group-limit."""
+    from ocr_spark.queries import q_bpe_merge_candidates
+
+    df = q_bpe_merge_candidates(spark, SF_DIR)
+    assert count_exchanges(df) == 2
+    assert udf_stage_count(df) == 0
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
