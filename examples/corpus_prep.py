@@ -93,6 +93,11 @@ def main() -> None:
 
     pmi_collocations(kept.select("doc_id", "text"), top_n=5).show(5)
 
+    print("== tokenizer prep: first BPE merge candidates")
+    from ocr_spark.operators.corpus import bpe_merge_candidates
+
+    bpe_merge_candidates(kept.select("doc_id", "text"), top_n=5).show(5)
+
     print("== PII redaction + sequence packing (512-token windows)")
     clean = kept.select(
         "doc_id", "source", pii_redact(F.col("text")).alias("text")
