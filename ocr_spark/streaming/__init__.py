@@ -1,9 +1,11 @@
 """Structured Streaming surface (optional path; SURVEY.md §2.7)."""
 
 from ocr_spark.streaming.extract_stream import (
+    incremental_dedup_batch_fn,
     run_stream_once,
     streaming_dedup,
     streaming_extract,
+    streaming_incremental_dedup,
     streaming_sessionize,
     windowed_turn_counts,
 )
@@ -12,6 +14,8 @@ from ocr_spark.streaming.stateful import conv_progress_stream
 __all__ = [
     "streaming_extract",
     "streaming_dedup",
+    "streaming_incremental_dedup",
+    "incremental_dedup_batch_fn",
     "streaming_sessionize",
     "windowed_turn_counts",
     "run_stream_once",

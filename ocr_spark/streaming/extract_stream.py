@@ -145,3 +145,94 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+DOC_STREAM_SCHEMA = "doc_id long, text string"
+
+
+def incremental_dedup_batch_fn(
+    spark: SparkSession, index_dir: str, output_dir: str
+):
+    """The ``foreachBatch`` body of ``streaming_incremental_dedup``,
+    exposed separately so tests can drive epochs (and replays)
+    directly. For micro-batch N it:
+
+    1. reads the CURRENT fingerprint index (all epochs so far; empty
+       on first batch),
+    2. runs the batch operator ``dedup.incremental_dedup`` — verdicts
+       dup_index / dup_batch / novel, identical semantics to the
+       batch protocol by construction (same function),
+    3. writes verdicts to ``output_dir/epoch=N`` and the novel set's
+       fingerprints to ``index_dir/epoch=N``.
+
+    Exactly-once: both writes are per-epoch directories and the
+    function is a NO-OP if the epoch's index marker already exists —
+    a replayed micro-batch (restart between sink write and source
+    commit) rewrites nothing, so the index never double-counts and
+    downstream readers never see duplicate verdict rows. This is the
+    epoch-marker idempotence pattern the batch job uses for resume
+    (``job.py`` .done markers), applied to streaming state.
+
+    Scale: the dedup state lives in the index TABLE, not in executor
+    memory — unlike watermark-keyed streaming state it is unbounded
+    (a corpus-lifetime memory) yet costs each micro-batch only one
+    fp-keyed join; keep the index bucketed/compacted (sources/io.py
+    ``compact_parquet``) as epochs accumulate.
+    """
+    import os
+
+    def fn(batch: DataFrame, epoch_id: int) -> None:
+        epoch_index = os.path.join(index_dir, f"epoch={epoch_id}")
+        if os.path.exists(epoch_index):  # replayed micro-batch: no-op
+            return
+        from ocr_spark.operators.dedup import incremental_dedup
+
+        if os.path.exists(index_dir) and any(
+            e.startswith("epoch=") for e in os.listdir(index_dir)
+        ):
+            index = spark.read.parquet(index_dir).select("fp")
+        else:
+            index = spark.createDataFrame([], "fp string")
+        verdicts = incremental_dedup(batch, index)
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"epoch={epoch_id}")
+        )
+        novel = verdicts.filter(F.col("verdict") == "novel").select("fp")
+        novel.write.mode("overwrite").parquet(epoch_index)
+
+    return fn
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of the batch-vs-index dedup protocol
+    (``dedup.incremental_dedup``): tail an append-only documents
+    table and give every arriving doc a dup_index / dup_batch / novel
+    verdict against a PERSISTENT fingerprint index that each
+    micro-batch extends with its novel set — the production shape of
+    continuous-crawl dedup, where ``streaming_dedup``'s
+    watermark-bounded state (duplicates arrive close together) is the
+    wrong contract and corpus-lifetime memory is required.
+
+    Drains available input with AvailableNow and returns after
+    termination; restartable from the checkpoint, idempotent under
+    micro-batch replay (see ``incremental_dedup_batch_fn``)."""
+    src = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            incremental_dedup_batch_fn(spark, index_dir, output_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -216,3 +216,47 @@ def test_streaming_sessionize_gap_boundaries(spark, tmp_path):
         for r in spark.sql("SELECT * FROM gapsess").collect()
     )
     assert got == [("c1", 1), ("c1", 2), ("c2", 1)]
+
+
+def test_streaming_incremental_dedup_index_grows(spark, tmp_path):
+    """Two sequential drains: drop 1's novel fps land in the index,
+    so drop 2's re-sent doc comes back dup_index and only genuinely
+    new text is novel; replaying an epoch's batch fn is a no-op
+    (exactly-once on both the verdict sink and the index)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming import (
+        incremental_dedup_batch_fn,
+        streaming_incremental_dedup,
+    )
+
+    src = str(tmp_path / "isrc")
+    idx = str(tmp_path / "iidx")
+    out = str(tmp_path / "iout")
+    ckpt = str(tmp_path / "ickpt")
+
+    drop1 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "alpha  DOC")],
+        "doc_id long, text string",
+    )
+    drop1.coalesce(1).write.mode("append").parquet(src)
+    streaming_incremental_dedup(spark, src, idx, out, ckpt)
+    v1 = {r.doc_id: r.verdict for r in spark.read.parquet(out).collect()}
+    assert v1 == {1: "novel", 2: "novel", 3: "dup_batch"}
+    assert spark.read.parquet(idx).count() == 2  # alpha + beta fps
+
+    drop2 = spark.createDataFrame(
+        [(4, "ALPHA doc"), (5, "gamma doc")], "doc_id long, text string"
+    )
+    drop2.coalesce(1).write.mode("append").parquet(src)
+    streaming_incremental_dedup(spark, src, idx, out, ckpt)
+    v2 = {r.doc_id: r.verdict for r in spark.read.parquet(out).collect()}
+    assert v2[4] == "dup_index" and v2[5] == "novel"
+    assert len(v2) == 5
+    assert spark.read.parquet(idx).count() == 3
+
+    # replayed micro-batch (same epoch id already marked): no-op
+    replay = incremental_dedup_batch_fn(spark, idx, out)
+    replay(drop2, 0)
+    assert spark.read.parquet(idx).count() == 3
+    assert spark.read.parquet(out).count() == 5
