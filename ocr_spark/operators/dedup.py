@@ -1041,31 +1041,38 @@ def incremental_dedup(
     - ``novel``: first sighting anywhere — the set to append, whose
       fps then extend the index for the next batch.
 
-    Shape: one fp-keyed window (within-batch first-wins) and one
-    fp-keyed left join against the index — both shuffle (id, 32-hex)
-    rows only, never text, and share the same key so AQE/bucketing
-    co-locates them. At 100 TB keep the index bucketed by fp
-    (sources/bucketing.py) so the join is a shuffle-free zip, and
-    optionally Bloom-prefilter the probe side (operators/sketch.py
-    bloom_semijoin) to drop the ~99% novel majority map-side before
-    the join.
+    Shape: within-batch first-wins is a ``groupBy(fp).min(id)`` plus
+    an fp-keyed join back — deliberately NOT a row_number window: a
+    pathological hot fingerprint (empty docs, cookie banners — every
+    web crawl has one fp with millions of copies) pins a window to a
+    single reducer, and AQE's skew handling can split oversized JOIN
+    partitions but never a window partition, while the groupBy's
+    map-side combine collapses the hot key before it ever shuffles.
+    The index probe is a second fp-keyed left join. Everything
+    shuffles (id, 32-hex) rows only, never text, on one shared key so
+    AQE/bucketing co-locates the stages. At 100 TB keep the index
+    bucketed by fp (sources/bucketing.py) so the probe is a
+    shuffle-free zip, and optionally Bloom-prefilter it
+    (operators/sketch.py bloom_semijoin) to drop the ~99% novel
+    majority map-side before the join.
 
     ``index_fps`` needs one column ``fp``. Output
     (id_col, fp, verdict) for EVERY batch row.
     """
-    from pyspark.sql import Window
-
-    b = batch.select(
-        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
-    ).withColumn(
-        "rn", F.row_number().over(Window.partitionBy("fp").orderBy(id_col))
+    b = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    # null-safe keeper join: a NULL-text batch row still gets a verdict
+    # (the "every batch row" contract); NULL fps never match the index
+    keepers = b.groupBy("fp").agg(F.min(id_col).alias("first_id")).select(
+        F.col("fp").alias("kfp"), "first_id"
     )
     idx = index_fps.select("fp").distinct().withColumn("in_idx", F.lit(True))
     verdict = (
         F.when(F.col("in_idx").isNotNull(), "dup_index")
-        .when(F.col("rn") > 1, "dup_batch")
+        .when(F.col(id_col) != F.col("first_id"), "dup_batch")
         .otherwise("novel")
     )
-    return b.join(idx, "fp", "left").select(
-        id_col, "fp", verdict.alias("verdict")
+    return (
+        b.join(keepers, F.col("fp").eqNullSafe(F.col("kfp")))
+        .join(idx, "fp", "left")
+        .select(id_col, "fp", verdict.alias("verdict"))
     )

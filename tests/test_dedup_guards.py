@@ -264,6 +264,8 @@ def test_incremental_dedup_verdict_precedence(spark):
             (3, "beta doc"),    # novel, first sighting
             (4, "beta doc"),    # within-batch copy -> dup_batch
             (5, "gamma doc"),   # novel
+            (6, None),          # NULL text: still gets a verdict
+            (7, None),          # second NULL -> dup_batch of doc 6
         ],
         "doc_id int, text string",
     )
@@ -280,4 +282,6 @@ def test_incremental_dedup_verdict_precedence(spark):
         3: "novel",
         4: "dup_batch",
         5: "novel",
+        6: "novel",
+        7: "dup_batch",
     }

@@ -367,9 +367,12 @@ def test_conv_ops_exchange_bounds(spark, transcripts_path):
 
 def test_incremental_dedup_fp_keyed_only(spark):
     """Batch-vs-index dedup shuffles (id, 32-hex fp) rows only: one
-    exchange for the within-batch window, one for the index distinct
-    (joined on the SAME fp key — bucketable to zero at scale); the
-    scan reads nothing beyond (doc_id, text)."""
+    exchange for the map-combined keeper aggregation, one for the
+    index distinct (joined on the SAME fp key — bucketable to zero at
+    scale); the scan reads nothing beyond (doc_id, text). Crucially
+    NO Window operator: first-wins is groupBy(min)+join so a hot
+    fingerprint is map-side combined and AQE-skew-splittable instead
+    of pinning a single window reducer."""
     from ocr_spark.queries import q_incremental_dedup
 
     df = q_incremental_dedup(spark, SF_DIR)
@@ -377,7 +380,9 @@ def test_incremental_dedup_fp_keyed_only(spark):
     assert udf_stage_count(df) == 0
     cols = read_schema_columns(df)
     assert set(cols) == {"doc_id", "text"}
-    assert "CartesianProduct" not in physical_plan(df)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
 
 
 def test_pmi_collocations_bounded_rank_sort(spark):
