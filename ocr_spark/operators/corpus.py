@@ -914,3 +914,75 @@ def bpe_merge_candidates(
         .filter(F.col("rank") <= top_n)
         .select("pair", "lhs", "rhs", "pair_count", "rank")
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth diagnostic: distinct-term and
+    token totals for the corpus prefix at 25/50/75/100% of the id
+    space — the curve that says whether a corpus is still finding new
+    vocabulary (healthy growth) or has flattened into repetition, and
+    the empirical basis for sizing a tokenizer's vocab against planned
+    corpus growth.
+
+    Shape — no global sort, no per-checkpoint rescan: each term's
+    contribution to every prefix is fully determined by its FIRST
+    occurrence, so one vocab-sized shuffle computes
+    ``min(doc_id) per term`` (map-side combined), and the four
+    checkpoints are conditional aggregations over that vocabulary
+    table plus one map-only conditional-sum pass for doc/token
+    totals. Checkpoint thresholds come from ``max(doc_id)`` (scalar
+    agg). Integer arithmetic throughout; the Heaps ratio is one IEEE
+    division per row.
+
+    Output (pct, id_threshold, n_docs, n_tokens, n_distinct_terms,
+    heaps_ratio) — one row per checkpoint, pct in {25,50,75,100}."""
+    toks = df.select(F.col(id_col).alias("did"), tokens(F.col(text_col)).alias("w"))
+    max_id = df.agg(F.max(F.col(id_col)).alias("mid"))
+    first_seen = (
+        toks.select("did", F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.min("did").alias("fs"))
+    )
+    pcts = df.sparkSession.range(1, 5).select(
+        (F.col("id") * 25).cast("int").alias("pct")
+    )
+    thresholds = pcts.crossJoin(F.broadcast(max_id)).select(
+        "pct", F.floor(F.col("mid") * F.col("pct") / 100).alias("id_threshold")
+    )
+    vocab_at = (
+        first_seen.crossJoin(F.broadcast(thresholds))
+        .groupBy("pct", "id_threshold")
+        .agg(
+            F.sum(F.when(F.col("fs") <= F.col("id_threshold"), 1).otherwise(0))
+            .alias("n_distinct_terms")
+        )
+    )
+    totals_at = (
+        toks.select("did", F.size("w").alias("nt"))
+        .crossJoin(F.broadcast(thresholds))
+        .groupBy("pct", "id_threshold")
+        .agg(
+            F.sum(F.when(F.col("did") <= F.col("id_threshold"), 1).otherwise(0))
+            .alias("n_docs"),
+            F.sum(
+                F.when(F.col("did") <= F.col("id_threshold"), F.col("nt")).otherwise(0)
+            ).alias("n_tokens"),
+        )
+    )
+    return (
+        vocab_at.join(totals_at, ["pct", "id_threshold"])
+        .select(
+            "pct",
+            "id_threshold",
+            "n_docs",
+            "n_tokens",
+            "n_distinct_terms",
+            F.round(F.col("n_distinct_terms") / F.col("n_tokens"), 6).alias(
+                "heaps_ratio"
+            ),
+        )
+    )

@@ -820,6 +820,15 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_candidates(_docs(spark, sf_dir))
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth at 25/50/75/100% of the doc-id
+    space (first-seen-minimum formulation — no per-checkpoint
+    rescan)."""
+    from ocr_spark.operators.corpus import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir))
+
+
 def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimates for the 20 most frequent
     l_partkey values — pure integer arithmetic, est >= exact always
@@ -943,6 +952,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "pmi_collocations": q_pmi_collocations,
     "bpe_merge_candidates": q_bpe_merge_candidates,
+    "vocab_growth": q_vocab_growth,
 }
 
 # ---------------------------------------------------------------------------
@@ -2882,4 +2892,39 @@ rk AS (
   FROM s
 )
 SELECT pair, lhs, rhs, pair_count, rank FROM rk WHERE rank <= 30
+"""
+
+# Heaps'-law growth curve: each term's prefix membership is decided by
+# its FIRST occurrence - one vocab-sized min-agg, no per-checkpoint scan
+ORACLE_SQL["vocab_growth"] = f"""
+WITH toks AS (
+  SELECT doc_id AS did, {_TOKS} AS w FROM documents
+),
+mx AS (SELECT max(doc_id) AS mid FROM documents),
+fs AS (
+  SELECT t, min(did) AS fs
+  FROM (SELECT did, unnest(w) AS t FROM toks) GROUP BY 1
+),
+th AS (
+  SELECT CAST(pct AS INTEGER) AS pct,
+         CAST(floor(mid * pct / 100) AS BIGINT) AS id_threshold
+  FROM (SELECT unnest([25, 50, 75, 100]) AS pct) CROSS JOIN mx
+),
+v AS (
+  SELECT pct, id_threshold,
+    CAST(sum(CASE WHEN fs <= id_threshold THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_distinct_terms
+  FROM fs CROSS JOIN th GROUP BY 1, 2
+),
+tt AS (
+  SELECT pct, id_threshold,
+    CAST(sum(CASE WHEN did <= id_threshold THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_docs,
+    CAST(sum(CASE WHEN did <= id_threshold THEN len(w) ELSE 0 END) AS BIGINT)
+      AS n_tokens
+  FROM toks CROSS JOIN th GROUP BY 1, 2
+)
+SELECT v.pct, v.id_threshold, n_docs, n_tokens, n_distinct_terms,
+  round(n_distinct_terms / n_tokens, 6) AS heaps_ratio
+FROM v JOIN tt USING (pct, id_threshold)
 """

@@ -414,3 +414,16 @@ def test_bpe_merge_candidates_vocab_sized_explosion(spark):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_growth_no_per_checkpoint_rescan(spark):
+    """The Heaps' curve must come from the first-seen-minimum
+    formulation: zero UDFs, no cartesian blowup (the only crossJoins
+    carry the 4-row threshold table), no Window."""
+    from ocr_spark.queries import q_vocab_growth
+
+    df = q_vocab_growth(spark, SF_DIR)
+    assert udf_stage_count(df) == 0
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
