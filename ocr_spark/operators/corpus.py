@@ -762,7 +762,6 @@ def source_top_terms(
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_count: int = 5,
     top_n: int = 50,
 ) -> DataFrame:

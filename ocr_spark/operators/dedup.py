@@ -1057,7 +1057,12 @@ def incremental_dedup(
     majority map-side before the join.
 
     ``index_fps`` needs one column ``fp``. Output
-    (id_col, fp, verdict) for EVERY batch row.
+    (id_col, fp, verdict) for EVERY batch row. ``id_col`` should be
+    unique per batch row (the usual primary-key contract); rows that
+    share both id and fingerprint all tie at ``min(id)`` and are each
+    labeled novel — the min-formulation keeps that edge deterministic
+    (a row_number would order ties arbitrarily), but dedupe the batch
+    on id first if exact-once novel emission matters under id reuse.
     """
     b = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
     # null-safe keeper join: a NULL-text batch row still gets a verdict

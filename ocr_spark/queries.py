@@ -2810,7 +2810,7 @@ WITH batch AS (
 b AS (SELECT doc_id, {_FP_SQL} AS fp FROM batch),
 r AS (
   SELECT doc_id, fp,
-         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         min(doc_id) OVER (PARTITION BY fp) AS first_id
   FROM b
 ),
 idx AS (
@@ -2818,7 +2818,7 @@ idx AS (
 )
 SELECT r.doc_id, r.fp,
   CASE WHEN idx.fp IS NOT NULL THEN 'dup_index'
-       WHEN r.rn > 1 THEN 'dup_batch'
+       WHEN r.doc_id <> r.first_id THEN 'dup_batch'
        ELSE 'novel' END AS verdict
 FROM r LEFT JOIN idx ON r.fp = idx.fp
 """

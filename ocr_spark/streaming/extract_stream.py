@@ -166,39 +166,66 @@ def incremental_dedup_batch_fn(
        fingerprints to ``index_dir/epoch=N``.
 
     Exactly-once: both writes are per-epoch directories and the
-    function is a NO-OP if the epoch's index marker already exists —
-    a replayed micro-batch (restart between sink write and source
-    commit) rewrites nothing, so the index never double-counts and
-    downstream readers never see duplicate verdict rows. This is the
-    epoch-marker idempotence pattern the batch job uses for resume
-    (``job.py`` .done markers), applied to streaming state.
+    function is a NO-OP only once the epoch's index write has
+    COMMITTED — the marker is the writer's ``_SUCCESS`` file, not the
+    directory's existence, because the committer creates the directory
+    before the job commits and a mere-existence check would turn a
+    crash mid-write into a permanently lost epoch. A replayed
+    micro-batch that finds no ``_SUCCESS`` re-runs and overwrites the
+    partial attempt; one that finds it rewrites nothing. Same
+    epoch-marker idempotence pattern as the batch job's resume
+    (``job.py`` .done markers), applied to streaming state. Write
+    order matters: verdicts first, the index epoch (the commit marker)
+    last, so the marker implies both sinks are complete.
 
     Scale: the dedup state lives in the index TABLE, not in executor
     memory — unlike watermark-keyed streaming state it is unbounded
     (a corpus-lifetime memory) yet costs each micro-batch only one
-    fp-keyed join; keep the index bucketed/compacted (sources/io.py
-    ``compact_parquet``) as epochs accumulate.
+    fp-keyed join. As epochs accumulate, rebase the index
+    periodically: rewrite ``spark.read.parquet(index_dir)`` into
+    epoch=0 of a FRESH directory and point the job there (do NOT run
+    ``compact_parquet`` on the live root — flattening the ``epoch=``
+    layout would defeat the marker scheme and mix partitioned with
+    flat files).
     """
     import os
 
+    def _committed(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
     def fn(batch: DataFrame, epoch_id: int) -> None:
         epoch_index = os.path.join(index_dir, f"epoch={epoch_id}")
-        if os.path.exists(epoch_index):  # replayed micro-batch: no-op
+        if _committed(epoch_index):  # replayed, fully committed: no-op
             return
         from ocr_spark.operators.dedup import incremental_dedup
 
-        if os.path.exists(index_dir) and any(
-            e.startswith("epoch=") for e in os.listdir(index_dir)
-        ):
-            index = spark.read.parquet(index_dir).select("fp")
+        committed_epochs = (
+            [
+                e
+                for e in os.listdir(index_dir)
+                if e.startswith("epoch=")
+                and _committed(os.path.join(index_dir, e))
+            ]
+            if os.path.exists(index_dir)
+            else []
+        )
+        if committed_epochs:
+            index = spark.read.parquet(
+                *[os.path.join(index_dir, e) for e in committed_epochs]
+            ).select("fp")
         else:
             index = spark.createDataFrame([], "fp string")
-        verdicts = incremental_dedup(batch, index)
-        verdicts.write.mode("overwrite").parquet(
-            os.path.join(output_dir, f"epoch={epoch_id}")
-        )
-        novel = verdicts.filter(F.col("verdict") == "novel").select("fp")
-        novel.write.mode("overwrite").parquet(epoch_index)
+        # one execution of the dedup DAG (which re-scans the whole
+        # index) feeds BOTH sinks
+        verdicts = incremental_dedup(batch, index).persist()
+        try:
+            verdicts.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"epoch={epoch_id}")
+            )
+            novel = verdicts.filter(F.col("verdict") == "novel").select("fp")
+            novel.write.mode("overwrite").parquet(epoch_index)
+        finally:
+            verdicts.unpersist()
 
     return fn
 
