@@ -32,6 +32,14 @@ Scale design (the 100 TB story):
 - **splits**: stateless md5 bucket per row — map-only, reproducible
   across runs/engines, no coordination (the property a 1000-executor
   split assignment needs).
+- **broadcast marginals**: where a count floor provably bounds the
+  broadcast side it is applied (``pmi_collocations`` pre-filters
+  marginals to c_t >= min_count — output-invariant, cuts the Zipf
+  tail); where the OUTPUT depends on the full vocabulary (tf-idf's
+  dfreq, keyness's tf_c) the ``broadcast()`` hint is an optimization
+  for realistic vocabulary sizes — at extreme vocabulary scale drop
+  the hint and AQE falls back to a shuffled join on the token key
+  with identical semantics.
 
 Reference lineage: the reference has no corpus-level ops (single-doc
 service); these generalize its routing/fingerprint semantics
