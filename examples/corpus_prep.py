@@ -98,6 +98,11 @@ def main() -> None:
 
     bpe_merge_candidates(kept.select("doc_id", "text"), top_n=5).show(5)
 
+    print("== vocabulary growth curve (Heaps' law checkpoints)")
+    from ocr_spark.operators.corpus import vocab_growth
+
+    vocab_growth(kept.select("doc_id", "text")).orderBy("pct").show()
+
     print("== PII redaction + sequence packing (512-token windows)")
     clean = kept.select(
         "doc_id", "source", pii_redact(F.col("text")).alias("text")
