@@ -44,6 +44,14 @@ from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+if __package__ in (None, ""):
+    # executed by path (`python ocr_spark/job.py` / spark-submit's
+    # driver script): the script's own dir lands on sys.path, not the
+    # repo root — put the root first so the package imports resolve
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from ocr_spark.schema import MANIFEST_SCHEMA, OUTPUT_SCHEMA
 from ocr_spark.sources.io import read_input, validate_input_schema, write_output
 from ocr_spark.udfs import extract_batch, extract_udf
