@@ -366,3 +366,36 @@ def test_incremental_dedup_novel_closure(spark):
     novel_fps = day1.filter(F.col("verdict") == "novel").select("fp")
     day2 = incremental_dedup(docs, index.unionByName(novel_fps))
     assert day2.filter(F.col("verdict") != "dup_index").count() == 0
+
+
+def test_bpe_pairs_unicode_parity(spark):
+    """Spark substr and DuckDB substring must both be CHARACTER-based
+    on multi-byte text (a byte-based engine would split é/ï/ü into
+    mojibake pairs); the driver fixtures are ASCII, so this pins the
+    unicode contract the oracle can't exercise."""
+    import duckdb
+
+    from ocr_spark.operators.corpus import bpe_merge_candidates
+    from ocr_spark.queries import ORACLE_SQL
+
+    text = (
+        "héllo héllo héllo héllo héllo naïve naïve naïve naïve naïve "
+        "über über über über über"
+    )
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r.pair, r.pair_count)
+        for r in bpe_merge_candidates(d, min_count=1, top_n=100).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, '{text}' AS text"
+    )
+    sql = (
+        ORACLE_SQL["bpe_merge_candidates"]
+        .replace(">= 5", ">= 1")
+        .replace("<= 30", "<= 100")
+    )
+    want = sorted((r[0], r[3]) for r in con.sql(sql).fetchall())
+    assert got == want
+    assert ("hé", 5) in dict(got).items() and ("ïv", 5) in dict(got).items()
