@@ -21,7 +21,16 @@ compute the same result, column-name and value identical. Parity rules
 - **timestamps**: emitted as strftime strings;
 - **rounding**: round(x, 6) only on values that are bit-identical
   across engines by construction (ties at the 7th decimal are not
-  representable in binary, so rounding-mode differences can't bite).
+  representable in binary, so rounding-mode differences can't bite);
+- **whitespace boundary (known contract edge)**: ``\\s`` agrees across
+  Java/RE2/DuckDB (all ASCII-only classes), but ``trim()`` does NOT —
+  DuckDB strips unicode spaces (NBSP U+00A0), Spark strips ASCII
+  space only, so text with LEADING/TRAILING unicode whitespace is
+  outside the token-query parity contract (interior unicode spaces
+  are fine: neither engine splits on them). The extraction pipeline
+  is immune — its NFKC normalization folds NBSP to space before any
+  tokenization — and the contract edge is pinned by
+  tests/test_corpus.py::test_whitespace_parity_contract.
 
 Queries with no oracle entry (non-SQL-expressible: the extraction
 pipeline itself, stub multimodal decode) get the driver's rows-only

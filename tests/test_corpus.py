@@ -399,3 +399,41 @@ def test_bpe_pairs_unicode_parity(spark):
     want = sorted((r[0], r[3]) for r in con.sql(sql).fetchall())
     assert got == want
     assert ("hé", 5) in dict(got).items() and ("ïv", 5) in dict(got).items()
+
+
+def test_whitespace_parity_contract(spark):
+    """Pins the tokenizer's cross-engine whitespace contract (see the
+    parity rules in ocr_spark/queries.py): \\s+ splitting agrees on
+    unicode spaces (neither Java nor DuckDB-RE2 splits on NBSP/EM
+    space — both classes are ASCII-only), while trim() is the KNOWN
+    divergence (DuckDB strips unicode spaces, Spark ASCII only) that
+    keeps leading/trailing unicode whitespace outside the contract.
+    If either engine changes behavior, this test fails loudly."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.text import tokens
+
+    interior = "a b c d e"
+    got = (
+        spark.createDataFrame([(interior,)], "text string")
+        .select(tokens(F.col("text")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        "SELECT regexp_split_to_array(trim(?), '\\s+')", params=[interior]
+    ).fetchone()[0]
+    assert got == want == ["a b", "c d", "e"]
+
+    edge = " x "
+    s_trim = (
+        spark.createDataFrame([(edge,)], "text string")
+        .select(F.trim("text").alias("t"))
+        .collect()[0]
+        .t
+    )
+    d_trim = con.sql("SELECT trim(?)", params=[edge]).fetchone()[0]
+    assert s_trim == edge and d_trim == "x"  # the documented divergence
