@@ -30,7 +30,15 @@ compute the same result, column-name and value identical. Parity rules
   are fine: neither engine splits on them). The extraction pipeline
   is immune — its NFKC normalization folds NBSP to space before any
   tokenization — and the contract edge is pinned by
-  tests/test_corpus.py::test_whitespace_parity_contract.
+  tests/test_corpus.py::test_whitespace_parity_contract;
+- **case-folding boundary (known contract edge)**: ``lower()`` agrees
+  for Latin-1/precomposed/decomposed accents and ß/ẞ, but diverges on
+  the Turkish dotted capital İ (U+0130): Java lowers it to
+  ``i + U+0307`` (the Unicode full mapping), DuckDB to plain ``i`` —
+  so fingerprints of İ-bearing text differ between engines. Pinned by
+  tests/test_corpus.py::test_case_fold_parity_contract; fold U+0130
+  upstream (NFKD or an explicit translate) if Turkish-script corpora
+  must be oracle-compared.
 
 Queries with no oracle entry (non-SQL-expressible: the extraction
 pipeline itself, stub multimodal decode) get the driver's rows-only

@@ -437,3 +437,32 @@ def test_whitespace_parity_contract(spark):
     )
     d_trim = con.sql("SELECT trim(?)", params=[edge]).fetchone()[0]
     assert s_trim == edge and d_trim == "x"  # the documented divergence
+
+
+def test_case_fold_parity_contract(spark):
+    """Pins the lower() cross-engine contract (parity rules header):
+    agreement on accents (precomposed AND decomposed), ß and ẞ;
+    documented divergence on Turkish İ (U+0130), which Java lowers to
+    'i' + combining dot (Unicode full mapping) and DuckDB to bare 'i'.
+    Fails loudly if either engine moves."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+
+    def both(t):
+        s = (
+            spark.createDataFrame([(t,)], "x string")
+            .select(F.lower("x").alias("lo"))
+            .collect()[0]
+            .lo
+        )
+        d = con.sql("SELECT lower(?)", params=[t]).fetchone()[0]
+        return s, d
+
+    for agreeing in ["STRASSE ß", "éclair", "éclair", "ẞ"]:
+        s, d = both(agreeing)
+        assert s == d, agreeing
+    s, d = both("İstanbul")
+    assert s == "i̇stanbul" and d == "istanbul"  # the divergence
