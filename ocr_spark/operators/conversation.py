@@ -255,13 +255,21 @@ def conv_dedup(transcripts: DataFrame) -> DataFrame:
     job's salting handles) + one fingerprint-keyed window for group
     sizing. Keeper = lexicographically smallest conv_id.
 
+    NULL turn texts coalesce to '' BEFORE the fold: Spark's
+    array_join silently drops NULL elements (an all-NULL conversation
+    would hash as md5('')) while DuckDB's string_agg returns NULL
+    (md5(NULL) = NULL, every such conv its own "group") — coalescing
+    on both sides pins one cross-engine answer: NULL text ≡ empty
+    turn.
+
     Output (conv_id, conv_fp, n_turns, n_dup_convs, is_keeper)."""
     from pyspark.sql import Window
 
+    t = F.coalesce(F.col("text"), F.lit("")).alias("text")
     fp = F.md5(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                F.array_sort(F.collect_list(F.struct("turn_idx", t))),
                 lambda s: s["text"],
             ),
             "\x1f",

@@ -508,14 +508,19 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
     TakeOrderedAndProject for the top-N (no full sort), and an
     all-to-one stats aggregate — safe on any input size. Determinism:
     top-N orders by (count desc, key-as-string asc) and the serialized
-    list re-sorts the same way on both engines."""
+    list re-sorts the same way on both engines. A NULL key — often
+    exactly the hot key this diagnostic exists to surface — is
+    reported under the sentinel string ``<null>`` (a raw NULL would be
+    silently dropped by concat/array_join AND ordered differently by
+    Spark's NULLS-FIRST vs DuckDB's NULLS-LAST at a top_n tie)."""
+    ks = F.coalesce(F.col("k").cast("string"), F.lit("<null>"))
     counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count(F.lit(1)).alias("c"))
     stats = counts.agg(
         F.sum("c").cast("long").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("c").alias("max_count"),
     )
-    top = counts.orderBy(F.col("c").desc(), F.col("k").cast("string").asc()).limit(top_n)
+    top = counts.orderBy(F.col("c").desc(), ks.asc()).limit(top_n)
     top_str = top.agg(
         F.array_join(
             F.transform(
@@ -523,7 +528,7 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
                     F.collect_list(
                         F.struct(
                             (-F.col("c")).alias("nc"),
-                            F.col("k").cast("string").alias("ks"),
+                            ks.alias("ks"),
                         )
                     )
                 ),

@@ -1299,12 +1299,15 @@ FROM s GROUP BY conv_id
 
 def _conv_dedup_sql(transcripts_path: str | None = None) -> str:
     """DuckDB twin of conversation.conv_dedup — string_agg ORDER BY
-    (turn_idx, text) ≡ Spark's array_sort(struct(turn_idx, text))."""
+    (turn_idx, text) ≡ Spark's array_sort(struct(turn_idx, text));
+    text coalesced to '' on both engines (NULL-turn contract, see
+    conv_dedup docstring)."""
     p = transcripts_path or _transcripts_fixture_sql_path()
     return f"""
 WITH pc AS (
   SELECT conv_id,
-    md5(string_agg(text, chr(31) ORDER BY turn_idx, text)) AS conv_fp,
+    md5(string_agg(coalesce(text, ''), chr(31)
+        ORDER BY turn_idx, coalesce(text, ''))) AS conv_fp,
     count(*) AS n_turns
   FROM read_parquet('{p}') GROUP BY conv_id
 )
@@ -1889,16 +1892,19 @@ r AS (
 SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 3
 """,
     # skew diagnostic: integer counts + a deterministic "key:count"
-    # serialization (order by count desc, key-string asc on both sides)
+    # serialization (order by count desc, key-string asc on both
+    # sides); NULL keys surface under the '<null>' sentinel so the
+    # hottest key is never silently dropped (see skew_report docstring)
     "skew_report": """
 WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
-top AS (SELECT k, c FROM c ORDER BY c DESC, CAST(k AS VARCHAR) ASC LIMIT 5)
+top AS (SELECT coalesce(CAST(k AS VARCHAR), '<null>') AS ks, c FROM c
+        ORDER BY c DESC, coalesce(CAST(k AS VARCHAR), '<null>') ASC LIMIT 5)
 SELECT 'user_id' AS key_col,
   (SELECT CAST(sum(c) AS BIGINT) FROM c) AS n_rows,
   (SELECT count(*) FROM c) AS n_keys,
   (SELECT max(c) FROM c) AS max_count,
-  (SELECT string_agg(CAST(k AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
-                     ORDER BY c DESC, CAST(k AS VARCHAR) ASC) FROM top) AS top_keys
+  (SELECT string_agg(ks || ':' || CAST(c AS VARCHAR), ','
+                     ORDER BY c DESC, ks ASC) FROM top) AS top_keys
 """,
     # kNN label propagation: same sim chain, neighbor ties on vec_id,
     # vote ties on the smaller label

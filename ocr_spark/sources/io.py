@@ -146,11 +146,18 @@ def compact_parquet(
     task per tiny file).
 
     Rewrites ``path`` in place to ceil(bytes / target_file_mb) files
-    via a staging directory + atomic directory swap (write staging →
-    move old aside → move staging in → delete old), so a concurrent
-    reader sees either the old or the new complete file set, never a
-    partial mix. On Iceberg this is `rewrite_data_files`; this is the
-    plain-parquet form for the job's output directories.
+    via a staging directory + a two-rename swap (write staging →
+    move old aside → move staging in → delete old). Each rename is
+    atomic, but the PAIR is not: between them the live path briefly
+    does not exist, so a concurrent reader can hit FileNotFoundError
+    (it never sees a partial MIX — retry-on-missing is the reader
+    contract, same as an Iceberg commit retry). A crash between the
+    renames strands the data at ``<path>.compact_old``; this function
+    recovers that automatically at entry (restore ``.compact_old`` to
+    the live path if the live path is gone, discard it if the swap
+    had completed), so re-running after any crash converges. On
+    Iceberg this is `rewrite_data_files`; this is the plain-parquet
+    form for the job's output directories.
 
     Returns {files_before, files_after, bytes} for lineage/metrics.
     Content is preserved exactly (same rows; file grouping changes)."""
@@ -163,6 +170,16 @@ def compact_parquet(
             for f in os.listdir(p)
             if f.endswith(".parquet") and not f.startswith(".")
         ]
+
+    live = path.rstrip("/")
+    prior_old = live + ".compact_old"
+    if os.path.exists(prior_old):
+        if not os.path.exists(live):
+            # crashed between the two renames: the old set IS the data
+            os.replace(prior_old, live)
+        else:
+            # crashed after the swap, before cleanup: old set superseded
+            shutil.rmtree(prior_old, ignore_errors=True)
 
     before = _parts(path)
     total_bytes = sum(os.path.getsize(f) for f in before)

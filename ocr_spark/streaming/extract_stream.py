@@ -189,6 +189,22 @@ def incremental_dedup_batch_fn(
     flat files).
     """
     import os
+    import re
+
+    # The _SUCCESS/epoch-marker protocol below walks the index with
+    # driver-local os.listdir/os.path.exists. On an s3://-or-hdfs://
+    # index those silently return nothing — every micro-batch would see
+    # an EMPTY index and emit all-novel verdicts (silent wrong results)
+    # — so refuse non-local paths loudly; a cluster deployment routes
+    # the listing through the Hadoop FileSystem API instead.
+    for p in (index_dir, output_dir):
+        # (file:// too: os.path.exists("file:///x") is silently False)
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", p):
+            raise ValueError(
+                "incremental_dedup_batch_fn requires LOCAL index/output "
+                f"paths (marker discovery is os.listdir-based); got {p!r}. "
+                "Use the Hadoop FileSystem API for object-store indexes."
+            )
 
     def _committed(d: str) -> bool:
         return os.path.exists(os.path.join(d, "_SUCCESS"))
