@@ -149,6 +149,33 @@ def run_stream_once(
 
 DOC_STREAM_SCHEMA = "doc_id long, text string"
 
+# The persistent fingerprint index is laid out
+# index_dir/epoch=N/fpb=XX/part-*.parquet where XX = the fp's first
+# two hex chars (256 buckets). md5 fps are uniform, so buckets are
+# balanced by construction; 256 keeps the per-epoch path listing
+# driver-metadata-sized (committed_epochs × ≤256 dirs).
+INDEX_BUCKET_COL = "fpb"
+_BUCKET_HEX_CHARS = 2
+
+
+def _index_probe_paths(
+    index_dir: str, committed_epochs: list[str], buckets: list[str]
+) -> list[str]:
+    """The exact leaf directories an epoch probe must read: for each
+    committed index epoch, only the fp-prefix buckets PRESENT in the
+    current micro-batch (a bucket dir may not exist in a given epoch —
+    no novel fp with that prefix landed there)."""
+    import os
+
+    return [
+        p
+        for e in committed_epochs
+        for b in buckets
+        if os.path.isdir(
+            p := os.path.join(index_dir, e, f"{INDEX_BUCKET_COL}={b}")
+        )
+    ]
+
 
 def incremental_dedup_batch_fn(
     spark: SparkSession, index_dir: str, output_dir: str
@@ -157,13 +184,21 @@ def incremental_dedup_batch_fn(
     exposed separately so tests can drive epochs (and replays)
     directly. For micro-batch N it:
 
-    1. reads the CURRENT fingerprint index (all epochs so far; empty
-       on first batch),
+    1. reads ONLY the fp-prefix buckets of the fingerprint index that
+       the micro-batch's own fingerprints can possibly hit (the index
+       is written partitioned by ``fpb`` = fp[0:2]; the batch's
+       distinct-bucket set is collected first — bounded at 256 values
+       — and the probe reads just those ``epoch=*/fpb=XX`` leaves).
+       A batch whose fps span few buckets reads a few /256ths of the
+       index; a corpus-wide batch degenerates gracefully to the full
+       fp column, never the corpus,
     2. runs the batch operator ``dedup.incremental_dedup`` — verdicts
        dup_index / dup_batch / novel, identical semantics to the
-       batch protocol by construction (same function),
+       batch protocol by construction (same function; an index
+       restricted to the batch's buckets is membership-equivalent for
+       every batch fp),
     3. writes verdicts to ``output_dir/epoch=N`` and the novel set's
-       fingerprints to ``index_dir/epoch=N``.
+       fingerprints, partitioned by bucket, to ``index_dir/epoch=N``.
 
     Exactly-once: both writes are per-epoch directories and the
     function is a NO-OP only once the epoch's index write has
@@ -181,7 +216,9 @@ def incremental_dedup_batch_fn(
     Scale: the dedup state lives in the index TABLE, not in executor
     memory — unlike watermark-keyed streaming state it is unbounded
     (a corpus-lifetime memory) yet costs each micro-batch only one
-    fp-keyed join. As epochs accumulate, rebase the index
+    fp-keyed join over the probed buckets (the collect that picks the
+    buckets is ≤256 strings — driver metadata, like the IVF centroid
+    fetch). As epochs accumulate, rebase the index
     periodically: rewrite ``spark.read.parquet(index_dir)`` into
     epoch=0 of a FRESH directory and point the job there (do NOT run
     ``compact_parquet`` on the live root — flattening the ``epoch=``
@@ -213,33 +250,51 @@ def incremental_dedup_batch_fn(
         epoch_index = os.path.join(index_dir, f"epoch={epoch_id}")
         if _committed(epoch_index):  # replayed, fully committed: no-op
             return
+        from ocr_spark.functions.text import fingerprint
         from ocr_spark.operators.dedup import incremental_dedup
 
         committed_epochs = (
-            [
+            sorted(
                 e
                 for e in os.listdir(index_dir)
                 if e.startswith("epoch=")
                 and _committed(os.path.join(index_dir, e))
-            ]
+            )
             if os.path.exists(index_dir)
             else []
         )
-        if committed_epochs:
-            index = spark.read.parquet(
-                *[os.path.join(index_dir, e) for e in committed_epochs]
-            ).select("fp")
+        # which index buckets can this batch possibly hit? ≤256-row
+        # collect over the (small) micro-batch; NULL fps never match
+        # the index, so their (NULL) bucket is not probed
+        buckets = sorted(
+            r["b"]
+            for r in batch.select(
+                F.substring(
+                    fingerprint(F.col("text")), 1, _BUCKET_HEX_CHARS
+                ).alias("b")
+            )
+            .distinct()
+            .collect()
+            if r["b"] is not None
+        )
+        probe = _index_probe_paths(index_dir, committed_epochs, buckets)
+        if probe:
+            index = spark.read.parquet(*probe).select("fp")
         else:
             index = spark.createDataFrame([], "fp string")
-        # one execution of the dedup DAG (which re-scans the whole
-        # index) feeds BOTH sinks
+        # one execution of the dedup DAG (which re-probes the bucket
+        # subset) feeds BOTH sinks
         verdicts = incremental_dedup(batch, index).persist()
         try:
             verdicts.write.mode("overwrite").parquet(
                 os.path.join(output_dir, f"epoch={epoch_id}")
             )
             novel = verdicts.filter(F.col("verdict") == "novel").select("fp")
-            novel.write.mode("overwrite").parquet(epoch_index)
+            novel.withColumn(
+                INDEX_BUCKET_COL, F.substring("fp", 1, _BUCKET_HEX_CHARS)
+            ).write.mode("overwrite").partitionBy(INDEX_BUCKET_COL).parquet(
+                epoch_index
+            )
         finally:
             verdicts.unpersist()
 
