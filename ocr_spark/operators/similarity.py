@@ -488,6 +488,7 @@ def ivf_topk_seeded(
     n_cells: int = 16,
     n_probe: int = 4,
     dim: int = EMB_DIM,
+    inline_max_cells: int = 256,
 ) -> DataFrame:
     """IVF top-k with SEEDED centroids: the coarse quantizer's
     centroids are the first ``n_cells`` vectors themselves (no Lloyd
@@ -498,10 +499,21 @@ def ivf_topk_seeded(
 
     Scale shape: centroids are collected driver-side (n_cells×dim
     floats — metadata at any corpus scale, exactly like a deployed IVF
-    index) and baked into the assignment expression, so cell
-    assignment is a map-only pass over the corpus with NO shuffle; the
-    candidate join is an equi-join on cell id bounded by probe volume.
-    Ties everywhere break on the lower cell / vec_id.
+    index); cell assignment is a map-only pass over the corpus with NO
+    shuffle; the candidate join is an equi-join on cell id bounded by
+    probe volume. Ties everywhere break on the lower cell / vec_id.
+
+    Assignment has two bit-identical physical forms, switched on
+    ``inline_max_cells``: at small n_cells the centroids are baked
+    into the expression as literal pow-chains (zero extra operators,
+    whole-stage codegen); past the threshold that expression tree
+    (n_cells × dim pow terms) would blow Catalyst codegen limits long
+    before memory, so the centroids travel as DATA instead — one
+    broadcast row holding array<array<double>>, distance =
+    ``aggregate(zip_with(...))`` over it, expression tree CONSTANT in
+    n_cells. Both forms fold dim terms left-to-right with the same
+    pow/cast primitives, so they agree to the last bit (pinned in
+    test_similarity.py) and the oracle needs no variant.
     """
     from pyspark.sql import Window
 
@@ -524,16 +536,44 @@ def ivf_topk_seeded(
             for c in cents
         ]
 
-    darr = F.array(*dist_exprs("embedding"))
+    if len(cents) <= inline_max_cells:
+        attach = lambda df: df  # noqa: E731
+
+        def darr(col: str) -> Column:
+            return F.array(*dist_exprs(col))
+
+    else:
+        cent_df = emb.sparkSession.createDataFrame(
+            [(cents,)], "_cents array<array<double>>"
+        )
+        attach = lambda df: df.crossJoin(F.broadcast(cent_df))  # noqa: E731
+
+        def darr(col: str) -> Column:
+            # same left fold as the literal chain: 0.0 + t0 + t1 + …
+            # (0.0 + x ≡ x in IEEE for the non-negative pow terms)
+            return F.transform(
+                F.col("_cents"),
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.col(col).cast("array<double>"),
+                        c,
+                        lambda a, b: F.pow(a - b, F.lit(2.0)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+
+    d_corpus = darr("embedding")
     # first occurrence of the min = lowest cell id on ties
-    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-    assigned = emb.select("vec_id", "embedding", cell.alias("cell"))
+    cell = (F.array_position(d_corpus, F.array_min(d_corpus)) - 1).cast("int")
+    assigned = attach(emb).select("vec_id", "embedding", cell.alias("cell"))
 
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    q_cells = queries.select(
-        "q_id", "q_emb", F.posexplode(F.array(*dist_exprs("q_emb"))).alias("cell", "dist")
+    q_cells = attach(queries).select(
+        "q_id", "q_emb", F.posexplode(darr("q_emb")).alias("cell", "dist")
     )
     w_probe = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
     probed = (

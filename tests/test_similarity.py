@@ -190,3 +190,48 @@ def test_filtered_knn_respects_pool(spark):
         by_q.setdefault(r["q_id"], []).append(r["rank"])
     # full rank sequence per query — post-filtering would leave holes
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+def test_ivf_seeded_assignment_paths_bit_identical(spark):
+    """The broadcast-data assignment twin (used above inline_max_cells)
+    returns EXACTLY the inline-literal path's rows — same pow/cast
+    primitives, same left fold order, so sims agree to the last bit
+    and ties break identically."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    inline = sorted(
+        map(tuple, ivf_topk_seeded(emb, n_queries=8, k=3, n_cells=32, n_probe=5).collect())
+    )
+    data = sorted(
+        map(
+            tuple,
+            ivf_topk_seeded(
+                emb, n_queries=8, k=3, n_cells=32, n_probe=5, inline_max_cells=1
+            ).collect(),
+        )
+    )
+    assert inline == data
+    assert len(inline) == 8 * 3
+
+
+def test_ivf_seeded_large_cell_count_no_codegen_blowup(spark):
+    """n_cells = 1024 through the broadcast-data path: the expression
+    tree is constant-size (centroids are DATA), so a cell count that
+    would generate ~1024×dim pow literals inline plans and runs fine."""
+    from pyspark.sql import functions as F
+
+    dim = 8
+    emb = spark.range(2048).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: ((F.col("id") * 31 + i * 7) % 97).cast("float") / F.lit(97.0),
+        ).alias("embedding"),
+    )
+    out = ivf_topk_seeded(
+        emb, n_queries=5, k=3, n_cells=1024, n_probe=4, dim=dim
+    ).collect()
+    assert len(out) == 5 * 3
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
