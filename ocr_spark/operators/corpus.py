@@ -336,7 +336,14 @@ def weighted_sample(
     existing keys — only the top-k cut line moves).
 
     Output (id_col, group_col, weight, sample_rank), sample_rank in
-    [1, k] by descending key (ties break on id)."""
+    [1, k] by descending key (ties break on id). The [1, max_weight]
+    clamp is a silent distortion for any corpus whose weights exceed
+    it (a weight-40 doc samples like weight-16, 2.5× under its nominal
+    inclusion odds) — ``weighted_sample_clamp_stats`` is the
+    cap_drop_stats-style accounting row that quantifies exactly that
+    at the caller's corpus scale; raise max_weight when its
+    weight_mass delta matters (the key loop cost grows O(max_weight)
+    md5 calls per row)."""
     from pyspark.sql import Window
 
     w_clamped = F.greatest(
@@ -373,6 +380,39 @@ def weighted_sample(
         keyed.withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= k)
         .select(id_col, group_col, "weight", "sample_rank")
+    )
+
+
+def weighted_sample_clamp_stats(
+    df: DataFrame,
+    weight_col: str = "weight",
+    max_weight: int = 16,
+    name: str = "weighted_sample_max_weight",
+) -> DataFrame:
+    """Accounting row for ``weighted_sample``'s [1, max_weight] weight
+    clamp — the quantified answer to "does the cap change MY sampling
+    distribution?": how many rows clamp (high and low), the heaviest
+    raw weight seen, and the total weight mass before vs after the
+    clamp (their delta is exactly the inclusion-probability mass the
+    cap redistributes). Mirrors ``cap_drop_stats``'s contract: one
+    all-to-one aggregate over already-computed columns, strictly
+    cheaper than the sampler it audits, integer-exact on both engines.
+
+    The clamped-mass term uses the sampler's own clamp expression
+    verbatim, so the accounting can never drift from the behavior it
+    reports on."""
+    w = F.col(weight_col).cast("int")
+    clamped = F.greatest(F.lit(1), F.least(w, F.lit(max_weight)))
+    return df.agg(
+        F.lit(name).alias("cap_name"),
+        F.lit(max_weight).cast("int").alias("cap_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((w > max_weight).cast("int")).cast("long").alias("n_clamped_high"),
+        F.sum((w < 1).cast("int")).cast("long").alias("n_clamped_low"),
+        F.sum(w.isNull().cast("int")).cast("long").alias("n_null_weight"),
+        F.max(w).cast("long").alias("max_weight_seen"),
+        F.sum(w).cast("long").alias("weight_mass_raw"),
+        F.sum(clamped).cast("long").alias("weight_mass_clamped"),
     )
 
 

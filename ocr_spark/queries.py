@@ -593,6 +593,20 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=20)
 
 
+def q_weighted_sample_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamp accounting for `weighted_sample`'s max_weight=16 bound on
+    the SAME weight derivation the sampling query uses: rows clamped
+    high/low, heaviest raw weight, and the weight mass the clamp
+    redistributes — the audit row that says whether the cap distorts
+    this corpus's mixture (see corpus.weighted_sample_clamp_stats)."""
+    from ocr_spark.operators.corpus import weighted_sample_clamp_stats
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "weight", (F.lit(1) + F.floor(F.length("text") / 512)).cast("int")
+    )
+    return weighted_sample_clamp_stats(docs, max_weight=16)
+
+
 def q_cap_drop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emitted drop accounting for the repo's two silent posting caps
     (winnow_overlap_pairs max_postings=4, cross_source_overlap
@@ -950,6 +964,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_top_terms": q_source_top_terms,
     "cap_drop_accounting": q_cap_drop_accounting,
     "weighted_sample": q_weighted_sample,
+    "weighted_sample_clamp": q_weighted_sample_clamp,
     "semantic_decontaminate": q_semantic_decontaminate,
     "knn_label_propagation": q_knn_label_propagation,
     "canonical_dedup": q_canonical_dedup,
@@ -2211,6 +2226,23 @@ r AS (
   FROM keyed
 )
 SELECT doc_id, source, weight, sample_rank FROM r WHERE sample_rank <= 20
+""",
+    # clamp accounting on the same raw-weight derivation; the clamped
+    # mass re-applies the sampler's own greatest/least expression
+    "weighted_sample_clamp": """
+WITH w AS (
+  SELECT CAST(1 + floor(length(text) / 512) AS INT) AS w FROM documents
+)
+SELECT 'weighted_sample_max_weight' AS cap_name,
+  CAST(16 AS INTEGER) AS cap_value,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN w > 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+  CAST(sum(CASE WHEN w < 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+  CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_weight,
+  CAST(max(w) AS BIGINT) AS max_weight_seen,
+  CAST(sum(w) AS BIGINT) AS weight_mass_raw,
+  CAST(sum(greatest(1, least(w, 16))) AS BIGINT) AS weight_mass_clamped
+FROM w
 """,
     # same winnowing-fps CTE as winnow_overlap and the same shingle
     # postings CTE as cross_source_overlap, collapsed to the per-cap

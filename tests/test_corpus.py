@@ -466,3 +466,24 @@ def test_case_fold_parity_contract(spark):
         assert s == d, agreeing
     s, d = both("İstanbul")
     assert s == "i̇stanbul" and d == "istanbul"  # the divergence
+
+
+def test_weighted_sample_clamp_stats_quantifies_distortion(spark):
+    """The accounting row reports exactly what the [1, max_weight]
+    clamp does: high/low/NULL clamp counts, heaviest raw weight, and
+    the redistributed weight mass (raw 40+16+0(NULL→skip)+(-3→1)+5)."""
+    from ocr_spark.operators.corpus import weighted_sample_clamp_stats
+
+    df = spark.createDataFrame(
+        [(1, 40), (2, 16), (3, None), (4, -3), (5, 5)], "id long, weight int"
+    )
+    r = weighted_sample_clamp_stats(df, max_weight=16).collect()[0]
+    assert r["cap_value"] == 16
+    assert r["n_rows"] == 5
+    assert r["n_clamped_high"] == 1  # 40 → 16
+    assert r["n_clamped_low"] == 1  # -3 → 1
+    assert r["n_null_weight"] == 1
+    assert r["max_weight_seen"] == 40
+    assert r["weight_mass_raw"] == 40 + 16 - 3 + 5
+    # clamped: 16 + 16 + (NULL: least(NULL,16)=16 both engines) + 1 + 5
+    assert r["weight_mass_clamped"] == 16 + 16 + 16 + 1 + 5
