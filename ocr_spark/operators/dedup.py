@@ -1023,6 +1023,7 @@ def incremental_dedup(
     index_fps: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against an EXISTING corpus fingerprint
     index — the shape a continuously-crawled 100 TB corpus actually
@@ -1048,13 +1049,20 @@ def incremental_dedup(
     single reducer, and AQE's skew handling can split oversized JOIN
     partitions but never a window partition, while the groupBy's
     map-side combine collapses the hot key before it ever shuffles.
-    The index probe is a second fp-keyed left join. Everything
-    shuffles (id, 32-hex) rows only, never text, on one shared key so
-    AQE/bucketing co-locates the stages. At 100 TB keep the index
-    bucketed by fp (sources/bucketing.py) so the probe is a
-    shuffle-free zip, and optionally Bloom-prefilter it
-    (operators/sketch.py bloom_semijoin) to drop the ~99% novel
-    majority map-side before the join.
+
+    The index probe NEVER shuffles the index (the protocol's whole
+    point is index >> batch): the batch's distinct fingerprints —
+    batch-sized, the small side by contract — broadcast into a
+    LeftSemi prefilter of the index scan, so index membership is
+    decided map-side and only the (≤ batch-sized) intersection flows
+    into the verdict join. Everything that does shuffle is (id,
+    32-hex) batch rows only, never text, on one shared fp key. At
+    100 TB additionally keep the index bucketed by fp
+    (sources/bucketing.py — the streaming twin's epoch layout does
+    exactly this) so even the index SCAN reads only the buckets the
+    batch can hit. Set ``broadcast_probe=False`` for the degenerate
+    batch ≈ index case (the semi join then plans as a plain shuffle
+    join — the pre-r5 shape).
 
     ``index_fps`` needs one column ``fp``. Output
     (id_col, fp, verdict) for EVERY batch row. ``id_col`` should be
@@ -1070,7 +1078,20 @@ def incremental_dedup(
     keepers = b.groupBy("fp").agg(F.min(id_col).alias("first_id")).select(
         F.col("fp").alias("kfp"), "first_id"
     )
-    idx = index_fps.select("fp").distinct().withColumn("in_idx", F.lit(True))
+    bfps = b.select("fp").where(F.col("fp").isNotNull()).distinct()
+    if broadcast_probe:
+        bfps = F.broadcast(bfps)
+    # membership-equivalent to distinct-ing the whole index: index fps
+    # outside the batch could never join b anyway, so prefiltering them
+    # out map-side changes nothing downstream
+    idx = (
+        index_fps.select("fp")
+        .join(bfps, "fp", "semi")
+        .distinct()
+        .withColumn("in_idx", F.lit(True))
+    )
+    if broadcast_probe:
+        idx = F.broadcast(idx)
     verdict = (
         F.when(F.col("in_idx").isNotNull(), "dup_index")
         .when(F.col(id_col) != F.col("first_id"), "dup_batch")

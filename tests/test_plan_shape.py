@@ -366,21 +366,27 @@ def test_conv_ops_exchange_bounds(spark, transcripts_path):
 
 
 def test_incremental_dedup_fp_keyed_only(spark):
-    """Batch-vs-index dedup shuffles (id, 32-hex fp) rows only: one
-    exchange for the map-combined keeper aggregation, one for the
-    index distinct (joined on the SAME fp key — bucketable to zero at
-    scale); the scan reads nothing beyond (doc_id, text). Crucially
+    """Batch-vs-index dedup shuffles BATCH-sized (id, 32-hex fp) rows
+    only — three exchanges (keeper aggregation, batch-fp distinct,
+    batch∩index distinct), all bounded by batch size. The INDEX — the
+    protocol's big side — is never shuffled: its membership probe is a
+    BroadcastHashJoin LeftSemi against the broadcast batch-fp set
+    (map-side filter of the index scan; bucketing the index by fp
+    additionally bounds the scan itself — the streaming twin's epoch
+    layout). The scan reads nothing beyond (doc_id, text). Crucially
     NO Window operator: first-wins is groupBy(min)+join so a hot
     fingerprint is map-side combined and AQE-skew-splittable instead
     of pinning a single window reducer."""
     from ocr_spark.queries import q_incremental_dedup
 
     df = q_incremental_dedup(spark, SF_DIR)
-    assert count_exchanges(df) == 2
+    assert count_exchanges(df) == 3
     assert udf_stage_count(df) == 0
     cols = read_schema_columns(df)
     assert set(cols) == {"doc_id", "text"}
     plan = physical_plan(df)
+    assert "BroadcastHashJoin LeftSemi" in plan  # index probe, map-side
+    assert "SortMergeJoin" not in plan  # nothing big ever shuffles
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
 
