@@ -413,7 +413,46 @@ def run_scaling(input_path: str, peak_input_path: str | None = None) -> dict:
     deflate whichever level always ran second — alternation makes
     some rounds pair with the bias in the job's favor and some
     against, and the per-round ratios below never mix rounds.
-    Throughput is from the best warm wall per level."""
+    Throughput is from the best warm wall per level. If the warm
+    ping-pong fails for any reason (worker crash, marker timeout),
+    the bench falls back to the pre-r5 fresh-JVM-per-run protocol
+    rather than leaving the round with no scaling record at all."""
+    try:
+        walls, n_turns = _scaling_walls_warm(input_path)
+    except Exception as exc:  # noqa: BLE001 — any failure → fallback
+        print(f"warm-JVM scaling failed ({exc!r}); fresh-JVM fallback",
+              file=sys.stderr)
+        walls = {m: [] for m in ("local[2]", "local[8]")}
+        n_turns = 0
+        for rnd in range(N_ROUNDS):
+            order = (
+                ("local[2]", "local[8]") if rnd % 2 == 0 else ("local[8]", "local[2]")
+            )
+            for master in order:
+                r = _one_worker(master, input_path)
+                walls[master].append(r["warm_wall_sec"])
+                n_turns = r["n_turns"]
+    r32 = _one_worker("local[32]", peak_input_path or input_path)
+    walls["local[32]"] = [r32["warm_wall_sec"]]
+    n32 = r32["n_turns"]
+
+    out: dict = {"hw_envelope": _hw_envelope()}
+    for master in SCALING_MASTERS:
+        key = master.replace("local[", "local").replace("]", "")
+        best = min(walls[master])
+        n = n32 if master == "local[32]" else n_turns
+        out[key] = {
+            "walls_sec": walls[master],
+            "best_wall_sec": best,
+            "turns_per_sec": round(n / best, 1),
+            "n_turns": n,
+        }
+    return _finish_scaling(out, walls)
+
+
+def _scaling_walls_warm(input_path: str) -> tuple[dict[str, list[float]], int]:
+    """The warm-JVM ping-pong: spawn one persistent worker per level,
+    signal each measured run with a go-file, collect per-round walls."""
     import shutil
 
     sync = tempfile.mkdtemp(prefix="bench_sync_")
@@ -468,26 +507,15 @@ def run_scaling(input_path: str, peak_input_path: str | None = None) -> dict:
             walls[m] = r["walls_sec"]
             n_turns = r["n_turns"]
             os.unlink(outs[m])
+        return walls, n_turns
     finally:
         for p in procs.values():
             if p.poll() is None:
                 p.kill()
         shutil.rmtree(sync, ignore_errors=True)
-    r32 = _one_worker("local[32]", peak_input_path or input_path)
-    walls["local[32]"] = [r32["warm_wall_sec"]]
-    n32 = r32["n_turns"]
 
-    out: dict = {"hw_envelope": _hw_envelope()}
-    for master in SCALING_MASTERS:
-        key = master.replace("local[", "local").replace("]", "")
-        best = min(walls[master])
-        n = n32 if master == "local[32]" else n_turns
-        out[key] = {
-            "walls_sec": walls[master],
-            "best_wall_sec": best,
-            "turns_per_sec": round(n / best, 1),
-            "n_turns": n,
-        }
+
+def _finish_scaling(out: dict, walls: dict[str, list[float]]) -> dict:
     # Ambient sandbox load swings single measurements ±50%, so the
     # N/4N ratio is taken per interleaved round (the two runs of a
     # round are temporally adjacent → shared ambient conditions).
